@@ -1,0 +1,89 @@
+"""Query registry — the single source of truth behind the driver contract.
+
+Every operator from SURVEY.md §2 is registered here exactly once, with:
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- the equivalent ANSI SQL for the DuckDB oracle (or None for ops SQL can't
+  express — streaming, iterative — which the driver checks rows-only).
+
+``__spark_entry__.py`` re-exports ``queries()`` / ``oracle_sql()`` from here.
+
+Oracle-parity discipline (SURVEY.md §7 "what's hard" #1):
+- alias every computed column identically on both sides;
+- never SUM/AVG raw doubles (partial-aggregation order is nondeterministic):
+  route through DECIMAL(18,2) and cast the final result to DOUBLE;
+- pin timestamps to epoch millis (``unix_millis`` / ``epoch_ms``) when the
+  source precision differs (events.ts is ns; Spark truncates to µs);
+- no ORDER BY needed for the hash (order-insensitive) except under LIMIT,
+  where the sort must be total (tie-broken) to be deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from c2_duckdb_runner_spark.session import apply_runtime_confs
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    key: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: add one queries()/oracle_sql() pair to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in REGISTRY:
+            raise ValueError(f"duplicate query key: {key}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[key] = Query(key=key, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        return wrapped
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import c2_duckdb_runner_spark.operators.tier_a  # noqa: F401
+    import c2_duckdb_runner_spark.operators.filters  # noqa: F401
+    import c2_duckdb_runner_spark.operators.joins  # noqa: F401
+    import c2_duckdb_runner_spark.operators.aggregates  # noqa: F401
+    import c2_duckdb_runner_spark.operators.windows  # noqa: F401
+    import c2_duckdb_runner_spark.operators.sorts_limits  # noqa: F401
+    import c2_duckdb_runner_spark.operators.setops  # noqa: F401
+    import c2_duckdb_runner_spark.functions.scalar  # noqa: F401
+    import c2_duckdb_runner_spark.functions.complex  # noqa: F401
+    import c2_duckdb_runner_spark.operators.dedup  # noqa: F401
+    import c2_duckdb_runner_spark.operators.simsearch  # noqa: F401
+    import c2_duckdb_runner_spark.operators.textanalysis  # noqa: F401
+    import c2_duckdb_runner_spark.operators.multimodal  # noqa: F401
+    import c2_duckdb_runner_spark.sources.formats  # noqa: F401
+    import c2_duckdb_runner_spark.streaming.queries  # noqa: F401
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all_modules()
+    return {k: q.fn for k, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all_modules()
+    return {k: q.oracle for k, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,75 @@
+"""SparkSession factory + per-session determinism pinning.
+
+The reference runs N single-threaded engine instances side by side
+(``main.cc:177`` pins ``maximum_threads = 1``; pool size from ``Env_jobs``,
+``main.cc:376-385``). Spark's task scheduler plays the role of that pool:
+one task per file split per core. We pin the handful of session options that
+affect oracle (DuckDB) parity — session timezone, ANSI mode, shuffle width —
+and leave physical planning to Catalyst + AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session we are handed (the driver
+# creates its own SparkSession for verify; we must not assume we built it).
+_RUNTIME_CONFS = {
+    # DuckDB's oracle runs in UTC; Spark timestamp->string/epoch fns are
+    # session-tz dependent. Pin UTC so both engines agree.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for pandas interchange + pandas_udf hot paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    # At 100 TB this is what keeps post-filter stages from running 200k
+    # tiny tasks; locally it keeps 32-partition shuffles honest.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses outright
+    # (PARQUET_TYPE_ILLEGAL). Read nanos as long; tables.load() converts to
+    # TimestampType via timestamp_micros(ts div 1000) — identical to what
+    # DuckDB 1.0 does when it surfaces the same column as µs TIMESTAMP.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently pin runtime confs on a session we may not have built."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime on this build — keep going
+    return spark
+
+
+def get_spark(app_name: str = "c2-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a session sized like the reference's default run.
+
+    ``Env_jobs`` default 32 (``main.cc:376-385``) ≈ ``local[32]`` here; on a
+    real cluster the same code runs unmodified — parallelism comes from the
+    scheduler, not from anything we hand-roll.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # One file = at least one task, like the reference's per-file fanout
+        # (main.cc:297-324); 128m splits keep big files parallel too.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())
