@@ -1,1 +1,252 @@
-"""(queries registered incrementally)"""
+"""Join surface — all delegated by the reference to its embedded engine
+(``main.cc:181-182``); here expressed declaratively so Catalyst picks the
+physical join.
+
+Scale notes (100 TB design point):
+- fact⋈dim joins broadcast the dim (region/nation are O(1)-sized at any SF;
+  ``F.broadcast`` pins it, AQE would also convert post-filter small sides);
+- fact⋈fact equi-joins shuffle on the key → sort-merge; AQE skew-join splits
+  hot keys at runtime;
+- the theta join is a BroadcastNestedLoop — kept aggregate-only and
+  small-side-broadcast, and documented as O(n·m): at 100 TB you bucket or
+  band such predicates instead (see join_asof for the banded pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+
+@register(
+    "join_inner_hash",
+    oracle=(
+        "SELECT o.o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    ),
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join: shuffles both sides on l_orderkey/o_orderkey.
+    Both tables are key-clustered by orderkey on disk, so at scale bucketing
+    both by orderkey makes this shuffle-free."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=(
+        "SELECT n.n_name, r.r_name, COUNT(*) AS n_customers "
+        "FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY n.n_name, r.r_name"
+    ),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join through two broadcast dims — no shuffle for the joins at
+    all; the only shuffle is the final group-by (25 keys)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle=(
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_custkey"
+    ),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER — COUNT(col) skips the null-extended rows, so customers
+    with no orders report 0."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle=(
+        "SELECT s.s_suppkey, n.n_name FROM nation n "
+        "RIGHT JOIN supplier s ON s.s_nationkey = n.n_nationkey"
+    ),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return n.join(s, s.s_nationkey == n.n_nationkey, "right").select(
+        "s_suppkey", "n_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle=(
+        "SELECT a.k AS k_small, b.k AS k_big FROM "
+        "(SELECT DISTINCT l_quantity AS k FROM lineitem WHERE l_quantity <= 10) a "
+        "FULL OUTER JOIN "
+        "(SELECT DISTINCT l_quantity AS k FROM lineitem WHERE l_quantity >= 5) b "
+        "ON a.k = b.k"
+    ),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two overlapping key sets — exercises null extension on
+    both sides."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter("l_quantity <= 10").select(F.col("l_quantity").alias("k")).distinct()
+    b = li.filter("l_quantity >= 5").select(F.col("l_quantity").alias("k")).distinct()
+    return a.join(b, a.k == b.k, "full_outer").select(
+        a.k.alias("k_small"), b.k.alias("k_big")
+    )
+
+
+@register(
+    "join_semi",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        " AND o.o_totalprice > 200000)"
+    ),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS. Only the left's columns survive; right side is
+    reduced to a key set (broadcast when small post-filter)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS — customers who never ordered."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle=(
+        "SELECT s.s_suppkey, COUNT(*) AS n_richer_customers "
+        "FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal "
+        "GROUP BY s.s_suppkey"
+    ),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join → BroadcastNestedLoopJoin with supplier (the
+    small side) broadcast. Cost is O(|s|·|c|): fine for a dim×fact inequality,
+    never for fact×fact — that case gets banded (cf. join_asof)."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle=(
+        "SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ms, "
+        "p.last_purchase_value FROM "
+        "(SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events "
+        " WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN "
+        "(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS last_purchase_value "
+        " FROM events WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (no native Spark op — SURVEY.md §7 hard-point 3).
+
+    Pattern: union both sides tagged, one window pass per user ordered by
+    (ts, side) carrying the last purchase value forward with
+    last_value(ignorenulls). One shuffle on user_id, no range explosion —
+    this is the 100 TB-safe formulation (vs. the O(n·m) theta join).
+    DuckDB has native ASOF JOIN as the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue")
+    )
+    # Tag: purchases sort before clicks at identical ts (asof is inclusive >=)
+    tagged = purchases.select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"), "pvalue"
+    ).unionByName(
+        clicks.select(
+            "user_id", "ts", F.lit(1).alias("side"), "event_id",
+            F.lit(None).cast("double").alias("pvalue"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.withColumn(
+        "last_purchase_value", F.last("pvalue", ignorenulls=True).over(w)
+    )
+    return joined.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("click_ms"),
+        "last_purchase_value",
+    )
+
+
+@register(
+    "join_cross",
+    oracle=(
+        "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2"
+    ),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (5×5) — crossJoin must be opted into."""
+    r1 = load(spark, sf_dir, "region").select(F.col("r_name").alias("a"))
+    r2 = load(spark, sf_dir, "region").select(F.col("r_name").alias("b"))
+    return r1.crossJoin(r2)
