@@ -1,1 +1,220 @@
-"""(queries registered incrementally)"""
+"""Complex-type surface: arrays (incl. higher-order lambdas), struct/map,
+JSON — SURVEY.md §2 fn_array / fn_map_struct / fn_json. All built-in
+Catalyst expressions (no UDFs): at 100 TB the lambda forms (transform/
+filter/aggregate/zip_with) run inside codegen, which is why the similarity
+ops in operators/simsearch.py are built on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+
+@register(
+    "fn_array_basic",
+    oracle=(
+        "SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_elem, "
+        "list_contains([1, 2, 3], CAST(label AS BIGINT)) AS small_label, "
+        "list_sort([CAST(label AS BIGINT), CAST(vec_id % 5 AS BIGINT), 3])"
+        " AS sorted_trio "
+        "FROM embeddings"
+    ),
+)
+def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / index / contains / sort over ArrayType (embedding: list<float>)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.array_contains(
+            F.array(F.lit(1).cast("long"), F.lit(2), F.lit(3)),
+            F.col("label").cast("long"),
+        ).alias("small_label"),
+        F.sort_array(
+            F.array(
+                F.col("label").cast("long"),
+                (F.col("vec_id") % 5).cast("long"),
+                F.lit(3).cast("long"),
+            )
+        ).alias("sorted_trio"),
+    )
+
+
+@register(
+    "fn_array_explode",
+    oracle=(
+        "SELECT token, COUNT(*) AS n FROM ("
+        " SELECT unnest(string_split(text, ' ')) AS token FROM documents) t "
+        "GROUP BY token"
+    ),
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode = UNNEST — the word-count shape (scan → generate → agg);
+    partial aggregation keeps the shuffle tiny even when tokens blow up
+    the row count 100×."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "fn_array_transform",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "list_transform(range(1, 4), x -> x * l_linenumber) AS multiples, "
+        "list_filter(range(1, 7), x -> x % l_linenumber = 0) AS divisible, "
+        "list_sum(list_transform(range(1, 4), x -> x * l_linenumber)) AS mult_sum "
+        "FROM lineitem WHERE l_orderkey <= 100"
+    ),
+)
+def fn_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambdas: transform / filter / aggregate (int math — exact).
+
+    DuckDB's range(1,4) is end-exclusive [1,2,3] = Spark sequence(1,3);
+    list_sum's BIGINT result is matched by casting the fold result."""
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey <= 100")
+    seq3 = F.sequence(F.lit(1), F.lit(3))
+    ln = F.col("l_linenumber")
+    multiples = F.transform(seq3, lambda x: x * ln)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        multiples.alias("multiples"),
+        F.filter(F.sequence(F.lit(1), F.lit(6)), lambda x: x % ln == 0).alias(
+            "divisible"
+        ),
+        F.aggregate(
+            multiples, F.lit(0), lambda acc, x: acc + x
+        )
+        .cast("bigint")
+        .alias("mult_sum"),
+    )
+
+
+@register(
+    "fn_array_zip",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "list_transform(list_zip([CAST(l_linenumber AS BIGINT), 2, 3], "
+        " [10, 20, CAST(l_orderkey % 10 AS BIGINT)]), p -> p[1] + p[2]) AS zsum "
+        "FROM lineitem WHERE l_orderkey <= 100"
+    ),
+)
+def fn_array_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with — element-wise combination of two arrays (the dot-product
+    primitive; float version lives in simsearch)."""
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey <= 100")
+    a = F.array(
+        F.col("l_linenumber").cast("long"), F.lit(2).cast("long"), F.lit(3).cast("long")
+    )
+    b = F.array(
+        F.lit(10).cast("long"), F.lit(20).cast("long"),
+        (F.col("l_orderkey") % 10).cast("long"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.zip_with(a, b, lambda x, y: x + y).alias("zsum"),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle=(
+        "SELECT c_custkey, {'name': c_name, 'bal': c_acctbal} AS info, "
+        "{'name': c_name, 'bal': c_acctbal}.name AS info_name "
+        "FROM customer"
+    ),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct construction + field access (DuckDB struct literal syntax on
+    the oracle side)."""
+    c = load(spark, sf_dir, "customer")
+    info = F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal"))
+    return c.select(
+        "c_custkey", info.alias("info"), info.getField("name").alias("info_name")
+    )
+
+
+@register(
+    "fn_map",
+    oracle=(
+        "SELECT c_custkey, map_keys(MAP {'segment': c_mktsegment}) AS mkeys, "
+        "map_extract(MAP {'segment': c_mktsegment}, 'segment')[1] AS seg_value "
+        "FROM customer"
+    ),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType: construction, key listing, lookup. (DuckDB map[...] lookup
+    yields the element directly in 1.0's SQL dialect.)"""
+    c = load(spark, sf_dir, "customer")
+    m = F.create_map(F.lit("segment"), F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        F.map_keys(m).alias("mkeys"),
+        F.element_at(m, "segment").alias("seg_value"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle=(
+        "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k, "
+        "json_extract_string(props, '$.missing') AS missing "
+        "FROM events"
+    ),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on the events.props JSON-text column
+    (get_json_object ≙ DuckDB ->> / json_extract_string); missing paths are
+    NULL in both engines."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_from_json",
+    oracle=(
+        "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS parsed_k "
+        "FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50"
+    ),
+)
+def fn_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse (from_json to a typed struct) + predicate on
+    the parsed field."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        ev.select("event_id", parsed.getField("k").alias("parsed_k"))
+        .filter(F.col("parsed_k") > 50)
+    )
+
+
+@register(
+    "fn_to_json",
+    oracle=(
+        "SELECT event_id, to_json({'id': event_id, 'type': event_type}) AS j "
+        "FROM events WHERE event_id < 100"
+    ),
+)
+def fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct → JSON text serialization (compact, no whitespace in both)."""
+    ev = load(spark, sf_dir, "events").filter("event_id < 100")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("j"),
+    )

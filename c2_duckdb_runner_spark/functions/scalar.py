@@ -1,1 +1,248 @@
-"""(queries registered incrementally)"""
+"""Scalar function families (SURVEY.md §2 fn_string/date/math/conditional/
+cast/hash) — all reachable through the reference's delegated SQL slot
+(``main.cc:181-182``), all built-in JVM-side expressions here (whole-stage
+codegen; zero Python in the hot path).
+
+Cross-engine alignment notes baked into each oracle:
+- DuckDB ``year()`` returns BIGINT, Spark INT → oracle casts;
+- DuckDB ``dayofweek`` is 0=Sunday, Spark 1=Sunday → oracle adds 1;
+- ``round`` on exact .x5 money values diverges (binary-double vs BigDecimal
+  rounding) → round only applied to non-terminating values (sqrt/ln) at 6dp;
+- libm ulp drift (pow/ln/log10 across JVM vs C++) masked by round(...,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+
+@register(
+    "fn_string",
+    oracle=(
+        "SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg, "
+        "substr(c_name, 1, 8) AS prefix, length(c_name) AS name_len, "
+        "concat(c_name, ':', c_mktsegment) AS joined, "
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, "
+        "trim('  x  ') AS trimmed, replace(c_name, 'Customer', 'Cust') AS replaced, "
+        "instr(c_name, '#') AS hash_pos, reverse(c_mktsegment) AS rseg, "
+        "repeat(c_mktsegment, 2) AS seg2 "
+        "FROM customer"
+    ),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("replaced"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("rseg"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg2"),
+    )
+
+
+@register(
+    "fn_string_split",
+    oracle=(
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+        "string_split(text, ' ')[1] AS first_token "
+        "FROM documents"
+    ),
+)
+def fn_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → array; Spark split() is regex-based but a single space is the
+    same delimiter DuckDB's non-regex string_split uses."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle=(
+        "SELECT p_partkey, regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num, "
+        "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, "
+        "regexp_matches(p_type, 'PROMO|STANDARD') AS is_common "
+        "FROM part"
+    ),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex trio — patterns kept to the Java∩RE2 shared dialect. Note
+    DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("PROMO|STANDARD").alias("is_common"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(year(o_orderdate) AS INTEGER) AS yr, "
+        "CAST(month(o_orderdate) AS INTEGER) AS mth, "
+        "CAST(day(o_orderdate) AS INTEGER) AS dom, "
+        "CAST(dayofweek(o_orderdate) AS INTEGER) + 1 AS dow, "
+        "date_trunc('month', o_orderdate) AS month_start, "
+        "CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date, "
+        "CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)"
+        " AS days_since_95, "
+        "epoch_ms(o_orderdate) AS order_ms, "
+        "strftime(o_orderdate, '%Y-%m') AS ym "
+        "FROM orders"
+    ),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Oracle-side casts pin DuckDB's BIGINT extracts to
+    Spark's INT, 0-based dow to Spark's 1-based, strftime to date_format."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # DATE-typed outputs are avoided engine-wide: Spark hands dates to
+        # pandas as datetime.date while DuckDB hands datetime64 — a false
+        # mismatch in any value-hash. String form is unambiguous.
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias(
+            "due_date"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_95"
+        ),
+        # unix_millis rejects TIMESTAMP_NTZ; session TZ is pinned UTC so the
+        # NTZ->TZ cast keeps the wall-clock == DuckDB's epoch_ms semantics.
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "abs(l_quantity - 25) AS dist25, "
+        "floor(l_extendedprice / 1000) AS price_k, "
+        "ceil(l_discount * 100) AS disc_pct, "
+        "round(sqrt(l_extendedprice), 6) AS root_price, "
+        "round(ln(l_extendedprice), 6) AS ln_price, "
+        "round(log10(l_extendedprice), 6) AS log_price, "
+        "round(pow(l_quantity, 1.5), 6) AS qty_pow, "
+        "greatest(l_discount, l_tax) AS max_rate, "
+        "least(l_discount, l_tax) AS min_rate, "
+        "CAST(l_orderkey % 7 AS BIGINT) AS key_mod, "
+        "sign(l_quantity - 25) AS qty_sign "
+        "FROM lineitem"
+    ),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("dist25"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("root_price"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.pow(F.col("l_quantity"), 1.5), 6).alias("qty_pow"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_totalprice > 150000 THEN 'high' "
+        "     WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS price_band, "
+        "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label, "
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS urgent_price "
+        "FROM orders"
+    ),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).alias(
+            "urgent_price"
+        ),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle=(
+        "SELECT l_orderkey, "
+        "CAST(l_quantity AS INTEGER) AS qty_int, "
+        "CAST(l_orderkey AS VARCHAR) AS key_str, "
+        "CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip, "
+        "CAST(l_linenumber AS DOUBLE) AS line_dbl, "
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date, "
+        "CAST(CAST('1995-06-17' AS DATE) AS VARCHAR) AS const_date "
+        "FROM lineitem"
+    ),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice (ANSI-safe values only — Spark 4 runs ANSI mode by
+    default, matching DuckDB's error-on-bad-cast; the SURVEY §2 fn_cast
+    semantic gap is thereby closed rather than configured around)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_date"),
+        F.lit("1995-06-17").cast("date").cast("string").alias("const_date"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle=(
+        "SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256 "
+        "FROM customer"
+    ),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests — the portable content-hash primitives used by
+    the exact-dedup operators (both engines emit lowercase hex)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
