@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round performance probe.
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+exactly ONE JSON line on stdout:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol parity with the reference (BASELINE.md §A): wall-clock seconds per
+whole query (schedule → barrier, ``main.cc:321-329``), measured around a full
+materialization. We force execution with the ``noop`` sink — every row is
+produced and discarded executor-side, so the timing covers scan + compute +
+shuffle but not driver-side collect serialization (the reference's stdout
+sink analogue is the `sink_parquet` entry, timed like any other query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: one representative per operator family, weighted toward the
+# shapes that dominate at 100 TB (scans with pushdown, shuffle joins and
+# aggs, windows, top-k) plus the LLM-pipeline north-star ops.
+HEADLINE = [
+    "scan_filter_count",        # the reference's own workload
+    "project_columns",          # pruned scan
+    "filter_compound",          # pushdown of conjunctive predicates
+    "join_inner_hash",          # big-big shuffle join
+    "join_broadcast",           # dim broadcast join
+    "join_asof",                # custom as-of composition
+    "agg_groupby_hash",         # partial+final hash agg
+    "agg_approx_distinct",      # HLL sketch
+    "window_running_sum",       # window frame over shuffle
+    "topk_per_group",           # rank + filter
+    "sort_orderby_multi",       # global sort
+    "set_union_distinct",       # union + dedup shuffle
+    "fn_string",                # codegen'd scalar expressions
+    "fn_json",                  # JSON path extraction over events.props
+    "dedup_exact",              # LLM-pipeline: exact dedup
+    "dedup_minhash_lsh",        # LLM-pipeline: near-dup via MinHash LSH
+    "simsearch_topk_bruteforce",  # LLM-pipeline: cosine top-k
+    "text_quality_score",       # LLM-pipeline: quality heuristics
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def _materialize(df) -> None:
+    """Force full execution executor-side; rows are produced then dropped."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("c2-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    keys = [k for k in HEADLINE if k in qs]
+    missing = [k for k in HEADLINE if k not in qs]
+    if missing:
+        print(f"bench: skipping unregistered keys: {missing}", file=sys.stderr)
+
+    # Warm-up: JVM/codegen/parquet-footer caches; not counted.
+    _materialize(qs["scan_filter_count"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        t0 = time.monotonic()
+        _materialize(qs[key](spark, sf_dir))
+        timings[key] = round(time.monotonic() - t0, 4)
+        print(f"bench: {key} {timings[key]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+                "cpus": int(cpus),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

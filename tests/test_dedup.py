@@ -1,0 +1,52 @@
+"""Pin the hash-dependent dedup variants (no DuckDB oracle) against the
+exact n-gram-Jaccard query, which *is* oracle-checked."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _pairs(df):
+    return {(r["a_id"], r["b_id"]) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """LSH output is exact-verified (jac >= 0.8), so it must be a subset of
+    the brute blocking query; at the fixture's jac >= 0.97 planted dups the
+    miss probability per pair is ~(1-0.97^4)^8 ~ 1e-9, so require equality
+    on the high-similarity pairs."""
+    exact = QUERIES["dedup_near_ngram_jaccard"](spark, sf_dir)
+    lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    exact_pairs = _pairs(exact)
+    lsh_pairs = _pairs(lsh)
+    assert lsh_pairs <= exact_pairs
+    high = {(r["a_id"], r["b_id"]) for r in exact.collect() if r["jac"] >= 0.95}
+    assert high <= lsh_pairs
+    assert len(lsh_pairs) > 0
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    """Near-identical token sets (jac >= 0.97) must land within hamming <= 8;
+    simhash pairs must at least cover most of them and stay plausible."""
+    exact = QUERIES["dedup_near_ngram_jaccard"](spark, sf_dir)
+    sim = QUERIES["dedup_simhash"](spark, sf_dir)
+    high = {(r["a_id"], r["b_id"]) for r in exact.collect() if r["jac"] >= 0.97}
+    sim_pairs = _pairs(sim)
+    assert len(sim_pairs) > 0
+    # simhash is a lossy sketch: require >= 90% recall on the near-identical set
+    if high:
+        recall = len(high & sim_pairs) / len(high)
+        assert recall >= 0.9, f"simhash recall {recall:.2f} over {len(high)} pairs"
+    for r in sim.collect():
+        assert 0 <= r["hamming"] <= 8
+
+
+def test_exact_dedup_collapses_planted_dups(spark, sf_dir):
+    df = QUERIES["dedup_exact"](spark, sf_dir)
+    rows = df.collect()
+    dup_groups = [r for r in rows if r["dup_count"] == 2]
+    assert len(dup_groups) > 0
+    for r in dup_groups:
+        assert r["keeper_id"] < 100000
