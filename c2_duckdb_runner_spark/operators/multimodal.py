@@ -1,1 +1,207 @@
-"""(queries registered incrementally)"""
+"""Multimodal-column operators: opaque ``binary`` payloads + typed metadata.
+
+The pattern a 100 TB multimodal training pipeline needs: media rides through
+Spark as an opaque ``BinaryType`` column with a typed metadata struct, and
+decode / feature-extract / frame-sample run as Arrow-batched pandas stages
+(``mapInPandas``) so the bytes never take the row-at-a-time Python path.
+
+The fixtures carry no real media, so payloads are synthesized
+deterministically from ``documents.text`` (UTF-8 bytes) and the decoders are
+STUBS: real ones would import PIL/librosa/av here — not available in this
+container — so each stage computes a deterministic fake (byte-arithmetic
+"dimensions", "RMS energy", "frame checksums") behind the same schema,
+partitioning, and batch shape the real decoder would use. The arithmetic is
+simple enough that DuckDB can replay it, giving these pandas-UDF stages full
+differential oracles (rare for UDF code — and exactly why the fakes are
+byte-sums, not library calls).
+
+Reference reach: only via the delegated SQL slot (``main.cc:181-182``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as an opaque binary payload + typed metadata struct."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("fake/v1").alias("codec"),
+            F.length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "mm_decode_image_stub",
+    oracle="""
+SELECT doc_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((octet_length(encode(text)) % 509) + 16 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) % 353) + 16 AS INTEGER) AS height,
+       CAST(((octet_length(encode(text)) % 509) + 16)
+          * ((octet_length(encode(text)) % 353) + 16) AS BIGINT) AS n_pixels
+FROM documents
+""",
+)
+def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage: binary payload → (width, height, n_pixels) via an
+    Arrow-batched mapInPandas pass. One map-only stage; at 100 TB the decode
+    cost dominates and parallelism is per input split, no shuffle."""
+    src = _payloads(spark, sf_dir)
+    # Capture as a plain local: the closure must stay self-contained (no
+    # module-global function refs) or cloudpickle pickles it by reference
+    # and executors without this repo on sys.path can't deserialize it.
+    has_pil = _HAS_PIL
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _dims(payload: bytes) -> tuple[int, int]:
+            if has_pil:
+                raise NotImplementedError(
+                    "real image decode not wired up; payloads are synthetic"
+                )
+            n = len(payload)
+            return (n % 509) + 16, (n % 353) + 16
+
+        for pdf in batches:
+            dims = [_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "n_pixels": [w * h for w, h in dims],
+                }
+            )
+
+    return src.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, modality string, n_bytes bigint, "
+            "width int, height int, n_pixels bigint"
+        ),
+    )
+
+
+@register(
+    "mm_audio_rms_stub",
+    oracle="""
+SELECT doc_id,
+       ROUND(list_sum([CAST(ord(text[i]) AS BIGINT)
+                       FOR i IN range(1, length(text) + 1)])
+             * 1.0 / length(text) / 255.0, 6) AS rms
+FROM documents
+""",
+)
+def mm_audio_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract stage (STUB): "RMS energy" = mean byte value / 255.
+    Real impl would be librosa.feature.rms over decoded samples; the vector
+    arithmetic happens batch-wise in numpy, the shape a real extractor uses."""
+    src = _payloads(spark, sf_dir)
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vals = [
+                round(float(np.frombuffer(p, dtype=np.uint8).mean()) / 255.0, 6)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rms": vals})
+
+    return src.mapInPandas(rms, schema="doc_id bigint, rms double")
+
+
+_N_FRAMES, _FRAME_LEN = 4, 16
+
+
+@register(
+    "mm_frame_sample_stub",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text, unnest(range(0, {_N_FRAMES})) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(list_sum([CAST(ord(text[i]) AS BIGINT)
+                      FOR i IN range(frame_idx * {_FRAME_LEN} + 1,
+                                     frame_idx * {_FRAME_LEN} + {_FRAME_LEN} + 1)])
+            % 256 AS INTEGER) AS checksum
+FROM f
+WHERE length(text) >= (frame_idx + 1) * {_FRAME_LEN}
+""",
+)
+def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample stage (STUB): take 4 fixed-offset 16-byte "frames" per
+    payload, emit per-frame checksums — a row-expanding mapInPandas (one
+    input row → up to 4 output rows), the shape real video frame sampling
+    uses. Real impl: av.open(...).decode(video=0) at sampled PTS."""
+    src = _payloads(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for k in range(_N_FRAMES):
+                    chunk = bytes(p[k * _FRAME_LEN : (k + 1) * _FRAME_LEN])
+                    if len(chunk) == _FRAME_LEN:
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        sums.append(sum(chunk) % 256)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "checksum": sums}
+            )
+
+    return src.mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, checksum int"
+    )
+
+
+@register(
+    "mm_resize_plan_stub",
+    oracle="""
+SELECT doc_id,
+       CAST((octet_length(encode(text)) % 509) + 16 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) % 353) + 16 AS INTEGER) AS height,
+       CAST(least((octet_length(encode(text)) % 509) + 16, 224) AS INTEGER)
+         AS out_width,
+       CAST(least((octet_length(encode(text)) % 353) + 16, 224) AS INTEGER)
+         AS out_height
+FROM documents
+""",
+)
+def mm_resize_plan_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (STUB): plan target dims (cap at 224px, the usual vision
+    model input) from decoded dims. Kept as pure JVM expressions — resizing
+    *metadata* never needs Python; only the pixel work (stubbed away) does."""
+    src = _payloads(spark, sf_dir)
+    w = (F.col("meta.n_bytes") % 509 + 16).cast("int")
+    h = (F.col("meta.n_bytes") % 353 + 16).cast("int")
+    return src.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.least(w, F.lit(224)).alias("out_width"),
+        F.least(h, F.lit(224)).alias("out_height"),
+    )

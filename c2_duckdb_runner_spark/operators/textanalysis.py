@@ -1,1 +1,248 @@
-"""(queries registered incrementally)"""
+"""Text-analysis operators over the ``documents`` fixture.
+
+The LLM-pipeline north-star family: language ID, quality scoring, token
+counting, fingerprinting, TF-IDF. Reached in the reference only through the
+delegated SQL slot (``main.cc:181-182``); no per-operator reference code.
+
+Everything is built-in ``pyspark.sql.functions`` expressions (whole-stage
+codegen, no Python in the hot path). Per-doc ops are map-only — at 100 TB
+they scan, compute, and write with zero shuffles; TF-IDF adds exactly two
+shuffles (term df, per-doc window), both keyed on high-cardinality columns.
+
+Oracle-parity notes (every query here has a DuckDB twin):
+- DuckDB ``regexp_replace`` replaces only the FIRST match unless the ``'g'``
+  flag is passed; Spark's always replaces all. Every oracle uses ``'g'``.
+- Spark ``ascii()`` == DuckDB ``ord()`` (codepoint of first char).
+- DuckDB ``list_reduce`` has no init value, so folds seed via
+  ``list_prepend(0, ...)`` to mirror Spark's ``aggregate(..., 0, ...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + a BPE-ish regex lexer (letters /
+    digits / single punctuation). Map-only; both counts stay JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# Tiny stopword profiles; argmax with a fixed preference order on ties.
+_PROFILES = {
+    "en": ("the", "a", "of", "and", "value", "row"),
+    "de": ("der", "die", "das", "und", "wert"),
+    "fr": ("le", "la", "les", "et", "valeur"),
+}
+
+
+def _hits_spark(lang: str) -> F.Column:
+    lst = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+    return F.expr(f"size(filter(toks, t -> t IN ({lst})))")
+
+
+def _hits_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         {_hits_duck('en')} AS h_en,
+         {_hits_duck('de')} AS h_de,
+         {_hits_duck('fr')} AS h_fr,
+         len(toks) AS n
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
+            WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+       ROUND(greatest(h_en, h_de, h_fr) * 1.0 / n, 6) AS confidence
+FROM s
+""",
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-profile hit rate (the classic n-gram/stopword
+    heuristic, shrunk to 3 profiles). Fixed tie preference en > de > fr keeps
+    the argmax deterministic across engines."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    s = d.select(
+        "doc_id",
+        _hits_spark("en").alias("h_en"),
+        _hits_spark("de").alias("h_de"),
+        _hits_spark("fr").alias("h_fr"),
+        F.size("toks").alias("n"),
+    )
+    pred = (
+        F.when((F.col("h_en") >= F.col("h_de")) & (F.col("h_en") >= F.col("h_fr")), "en")
+        .when(F.col("h_de") >= F.col("h_fr"), "de")
+        .otherwise("fr")
+    )
+    conf = F.round(F.greatest("h_en", "h_de", "h_fr") * 1.0 / F.col("n"), 6)
+    return s.select("doc_id", pred.alias("pred_lang"), conf.alias("confidence"))
+
+
+_STOPS = "'the', 'a', 'of', 'and', 'to', 'in', 'value', 'row', 'table'"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         length(text) AS nc,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       ROUND(nc * 1.0 / len(toks), 6) AS avg_tok_len,
+       ROUND(n_punct * 1.0 / nc, 6) AS punct_ratio,
+       ROUND(n_upper * 1.0 / nc, 6) AS upper_ratio,
+       ROUND(len(list_filter(toks, t -> t IN ({_STOPS}))) * 1.0 / len(toks), 6)
+         AS stop_ratio,
+       ROUND(1.0 / (1.0 + exp(-(
+           0.02 * (nc * 1.0 / len(toks))
+         - 4.0 * (n_punct * 1.0 / nc)
+         + 2.0 * (len(list_filter(toks, t -> t IN ({_STOPS}))) * 1.0 / len(toks))
+       ))), 6) AS quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: token/char stats, punctuation & uppercase ratios,
+    stopword rate, squashed into a logistic quality score. Pure map-side
+    expression work — the 100 TB shape is scan → compute → write."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("nc", F.length("text"))
+        .withColumn(
+            "n_punct",
+            F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")),
+        )
+        .withColumn(
+            "n_upper",
+            F.length("text") - F.length(F.regexp_replace("text", "[A-Z]", "")),
+        )
+        .withColumn("nt", F.size("toks"))
+        .withColumn(
+            "n_stop", F.expr(f"size(filter(toks, t -> t IN ({_STOPS})))")
+        )
+    )
+    avg_tok = F.col("nc") * 1.0 / F.col("nt")
+    punct = F.col("n_punct") * 1.0 / F.col("nc")
+    stop = F.col("n_stop") * 1.0 / F.col("nt")
+    quality = 1.0 / (1.0 + F.exp(-(0.02 * avg_tok - 4.0 * punct + 2.0 * stop)))
+    return d.select(
+        "doc_id",
+        F.col("nt").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_tok_len"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(F.col("n_upper") * 1.0 / F.col("nc"), 6).alias("upper_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+_MOD = 1_000_000_007
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, least(length(text), 64) + 1)]),
+         (acc, c) -> (acc * 31 + c) % {_MOD}) AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling 31-base polynomial hash of the first 64
+    chars, mod 1e9+7 — engine-agnostic (unlike xxhash64) so the oracle can
+    replay it bit-for-bit. Map-only."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(sequence(1, least(length(text), 64)), CAST(0 AS BIGINT), "
+        f"(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % {_MOD})"
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. Two shuffles total: term→df agg and
+    the per-doc window; the df side is small (vocabulary) so Catalyst
+    broadcast-joins it back. Rank on the ROUNDED score with a term tiebreak
+    so cross-engine ln() ulp noise can't flip the ordering."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )

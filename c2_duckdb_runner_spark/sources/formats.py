@@ -1,1 +1,110 @@
-"""(queries registered incrementally)"""
+"""Source/sink formats beyond parquet: CSV, JSON, partitioned parquet, Arrow.
+
+The reference's format surface is DuckDB's extension-inferred replacement
+scan (``main.cc:164-169`` splices any path into ``FROM '<file>'``; csv/json
+ride the same slot). Our contract: every format round-trips losslessly
+against the parquet ground truth, so each query here writes with Spark,
+reads back, and lets the DuckDB oracle check the result against the original
+table — a write+read differential, not just a read.
+
+The binary-columnar sink (``main.cc:186-192``, DuckDB's private vector wire
+format) is deliberately NOT byte-replicated (SURVEY.md §7): our columnar
+contracts are parquet and Arrow record batches (``mapInArrow``).
+
+Writes land under /tmp (never in the read-only fixture tree), one dir per
+scale factor, ``overwrite`` mode so reruns are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+_IO_ROOT = "/tmp/c2spark_io"
+
+
+def _out(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"{_IO_ROOT}/{tag}/{name}"
+
+
+@register("scan_csv_roundtrip", oracle="SELECT * FROM nation")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source: write nation as headered CSV, read it back with an
+    explicit schema (never inferSchema in production — one extra full pass).
+    Round-trip must equal the parquet original."""
+    path = _out(sf_dir, "nation_csv")
+    nation = load(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(nation.schema).option("header", True).csv(path)
+
+
+@register("scan_json_roundtrip", oracle="SELECT * FROM customer")
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source for customer (exercises double round-trip:
+    Spark writes shortest-repr doubles, which re-parse bit-exact)."""
+    path = _out(sf_dir, "customer_json")
+    customer = load(spark, sf_dir, "customer")
+    customer.write.mode("overwrite").json(path)
+    return spark.read.schema(customer.schema).json(path)
+
+
+@register(
+    "scan_partitioned_parquet",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+    ),
+)
+def scan_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet: write orders partitioned by o_orderstatus,
+    read back filtered to one partition — the filter must become partition
+    PRUNING (only the o_orderstatus=F directory is listed/scanned; check
+    `.explain` PartitionFilters). This is the layout that matters most at
+    100 TB: pruning beats row-group skipping by orders of magnitude."""
+    path = _out(sf_dir, "orders_by_status")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "sink_arrow_columnar",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity > 25"
+    ),
+)
+def sink_arrow_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow columnar pass: stream the scan through mapInArrow record batches
+    (identity transform) — our stand-in for the reference's binary columnar
+    sink (``main.cc:186-192``): column-at-a-time batches crossing an API
+    boundary without row materialization. The batch is the IR, as DataChunk
+    was for the reference."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+    def passthrough(batches):
+        for batch in batches:
+            yield batch
+
+    return li.mapInArrow(passthrough, schema=li.schema)
