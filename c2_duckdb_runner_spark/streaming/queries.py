@@ -1,1 +1,246 @@
-"""(queries registered incrementally)"""
+"""Structured Streaming over the ``events`` fixture.
+
+The reference is strictly batch (SURVEY.md §1: absence verified across
+``main.cc``); streaming is north-star surface from BASELINE.json. Each query
+here runs a real micro-batch StreamingQuery — file source → event-time
+transformation → memory sink — driven to completion with
+``trigger(availableNow=True)``, then returns the sink contents as a static
+DataFrame so the driver contract (``(spark, sf_dir) -> DataFrame``) holds.
+
+Determinism notes (what makes these oracle-checkable):
+- The file source gets a GLOB (``events*.parquet``): Spark 4's
+  FileStreamSource rejects a bare file path ("basePath must be a directory").
+- ``events.ts`` is parquet TIMESTAMP(NANOS) → bigint under
+  ``nanosAsLong`` (see tables.load); converted to µs timestamps identically
+  to the batch path.
+- Append mode + watermark IS deterministic under availableNow: after the
+  data batch, Spark runs a no-data batch that advances the watermark to
+  max(ts) - delay and flushes every window with end <= watermark. The
+  oracle reproduces exactly that cutoff in SQL.
+- Aggregated doubles route through DECIMAL(18,6) (state merge order is
+  nondeterministic; decimal addition is associative).
+
+At scale: these plans are the real thing — state-store-backed windowed
+aggregation sharded by group key across executors. The memory sink is only
+the test harness's tail; production would writeStream to parquet/Kafka.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+_SINK_IDS = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = spark.readStream.schema(static.schema).parquet(f"{sf_dir}/events*.parquet")
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return src
+
+
+def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming frame to completion; return sink rows statically."""
+    name = f"c2s_sink_{os.getpid()}_{next(_SINK_IDS)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+# DuckDB twins work on epoch millis; events.ts is TIMESTAMP_NS there.
+_DUCK_MS = "epoch_ms(CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+SELECT ({_DUCK_MS} // 3600000) * 3600000 AS win_start_ms,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (complete mode: all windows)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"), "n", "total")
+    )
+    return _run_to_memory(spark, agg, "complete")
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+WITH e AS (SELECT {_DUCK_MS} AS ms, value FROM events),
+x AS (
+  SELECT (ms // 1800000) * 1800000 - k * 1800000 AS win_start_ms, value
+  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
+)
+SELECT win_start_ms, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM x GROUP BY 1
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 1 hour wide / 30 min slide — every event lands in 2
+    overlapping windows; the oracle expands the same 2 buckets per row."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"), "n", "total")
+    )
+    return _run_to_memory(spark, agg, "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+b AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   >= INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id,
+       epoch_ms(MIN(t)) AS session_start_ms,
+       epoch_ms(MAX(t) + INTERVAL 15 MINUTE) AS session_end_ms,
+       COUNT(*) AS n
+FROM g GROUP BY user_id, sid
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 15-minute inactivity gap. Session end
+    is last-event + gap (Spark semantics: an event at exactly the session
+    end starts a new session — the oracle's >= mirrors that). The gap-based
+    sessionization in SQL (lag → break flag → running sum) is the classic
+    batch twin of Spark's native session_window state merge."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n",
+        )
+    )
+    return _run_to_memory(spark, agg, "complete")
+
+
+@register(
+    "stream_watermark_late",
+    oracle=f"""
+WITH w AS (
+  SELECT ({_DUCK_MS} // 3600000) * 3600000 AS win_start_ms, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+wm AS (SELECT MAX({_DUCK_MS}) - 1800000 AS cutoff FROM events)
+SELECT win_start_ms, n FROM w, wm
+WHERE win_start_ms + 3600000 <= cutoff
+""",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows in APPEND mode: only windows the
+    watermark has closed (end <= max(ts) - 30min) are emitted; the rest are
+    withheld as potentially-late state. availableNow's trailing no-data
+    batch makes the cutoff exactly max(ts) - delay, which the oracle
+    replays. This is the late-data-handling contract at any scale."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("win_start_ms"), "n")
+    )
+    return _run_to_memory(spark, agg, "append")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type): first occurrence is emitted,
+    later ones are dropped against the state store; the watermark bounds how
+    long the key state lives (dropDuplicatesWithinWatermark)."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(spark, dedup, "append")
+
+
+@register(
+    "stream_stateful_counts",
+    oracle="SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event counter (the minimal arbitrary-state shape — real
+    pipelines put sessionization or CDC merge logic here). State is one
+    bigint per user_id, sharded across executors by group key; each batch
+    emits the updated counts (update mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def count_fn(key, pdfs, state):
+        total = sum(len(p) for p in pdfs)
+        prev = state.get[0] if state.exists else 0
+        new = prev + total
+        state.update((new,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [new]})
+
+    counted = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_fn,
+            outputStructType="user_id bigint, n bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(spark, counted, "update")
