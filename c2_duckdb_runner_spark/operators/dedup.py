@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 # 4-token shingles; DuckDB twin is toks[i:i+3] (1-indexed inclusive slice).
 _SHINGLES = (
@@ -47,8 +47,10 @@ _SHINGLES_DUCK = (
 
 
 def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # load_spread: shingling + hashing is the expensive map here, and the
+    # single-row-group fixture files would otherwise pin it to one core.
     return (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .withColumn("toks", F.split("text", " "))
         .withColumn("sh", F.expr(_SHINGLES))
         .select("doc_id", "sh", F.size("sh").alias("nsh"))
@@ -143,12 +145,40 @@ def dedup_near_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 32 minhash permutations via seeded xxhash64; 8 bands × 4 rows.
+# 32 minhash permutations; 8 bands × 4 rows. Instead of 32 xxhash64 passes
+# over every shingle array, hash each shingle ONCE (hs) and derive the 32
+# permutations as affine universal hashes a_j*h + b_j over wrapping int64 —
+# ~32x less hashing in the hot map stage, same LSH guarantees.
 _N_HASH, _N_BANDS, _ROWS = 32, 8, 4
 
+
+def _affine_consts(n: int) -> list[tuple[int, int]]:
+    """Deterministic odd 31-bit multipliers / offsets (LCG-generated).
+
+    31-bit constants × a 32-bit masked base hash stay < 2^63, so the affine
+    permutations are overflow-free under the ANSI mode the session pins for
+    oracle cast parity."""
+    out = []
+    x = 0x9E3779B97F4A7C15
+    mask31 = (1 << 31) - 1
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x & mask31) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x & mask31
+        out.append((a, b))
+    return out
+
+
 _MINHASH_SIG = (
-    f"transform(sequence(0, {_N_HASH - 1}), "
-    "j -> array_min(transform(sh, s -> xxhash64(j, s))))"
+    "array("
+    + ", ".join(
+        # mod p is essential: without it min(a*h+b) is monotonic in h and
+        # every "permutation" would pick the same shingle (degenerate LSH)
+        f"array_min(transform(hs, h -> ({a}L * (h & 4294967295L) + {b}L) % 2147483647L))"
+        for a, b in _affine_consts(_N_HASH)
+    )
+    + ")"
 )
 
 _BAND_KEYS = (
@@ -171,7 +201,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle never skews the way raw-shingle blocking can.
     """
     sh = _with_shingles(spark, sf_dir).filter(F.col("nsh") > 0)
-    sig = sh.withColumn("sig", F.expr(_MINHASH_SIG))
+    sig = sh.withColumn(
+        "hs", F.expr("transform(sh, s -> xxhash64(s))")
+    ).withColumn("sig", F.expr(_MINHASH_SIG))
     bands = sig.select(
         "doc_id",
         "sh",

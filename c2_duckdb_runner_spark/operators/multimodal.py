@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # noqa: F401
@@ -39,8 +39,11 @@ except ImportError:
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text as an opaque binary payload + typed metadata struct."""
-    return load(spark, sf_dir, "documents").select(
+    """documents.text as an opaque binary payload + typed metadata struct.
+
+    load_spread: decode-style pandas stages are the expensive map; spread
+    them across cores despite the single-row-group fixture files."""
+    return load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
         F.struct(

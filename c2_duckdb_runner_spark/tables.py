@@ -45,6 +45,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """Load + spread for compute-heavy map stages.
+
+    The fixture files are single-row-group parquet, so a scan is ONE task no
+    matter what ``maxPartitionBytes`` says (a row group can't be split) —
+    and any expensive per-row compute chained onto it would run on one core.
+    When the scan yields fewer partitions than half the cores, repartition
+    on ``key`` to spread the compute; the shuffle of the raw rows is far
+    cheaper than serializing the map work. At production scale the input is
+    many files/row groups, the condition is false, and this is a no-op —
+    exactly the behavior a 1000-executor cluster wants.
+    """
+    df = load(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 2):
+        df = df.repartition(cores, key)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
