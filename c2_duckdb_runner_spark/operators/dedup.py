@@ -200,16 +200,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: band keys are near-uniform xxhash64 values, so the candidate
     shuffle never skews the way raw-shingle blocking can.
     """
-    sh = _with_shingles(spark, sf_dir).filter(F.col("nsh") > 0)
-    sig = sh.withColumn(
-        "hs", F.expr("transform(sh, s -> xxhash64(s))")
-    ).withColumn("sig", F.expr(_MINHASH_SIG))
+    # Persist the signature table: every downstream branch (band explode,
+    # both sides of the verify join) reuses it instead of recomputing the
+    # shingle+hash map — the same reason production minhash pipelines write
+    # signatures out as a table before the LSH join. Without this the plan
+    # scans & re-signs the corpus once per branch.
+    sig = (
+        _with_shingles(spark, sf_dir)
+        .filter(F.col("nsh") > 0)
+        .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
+        .withColumn("sig", F.expr(_MINHASH_SIG))
+        .select("doc_id", "sh", "nsh", "sig")
+        .persist()
+    )
+    # Slim band rows (doc_id, band, key) self-join into candidate id pairs —
+    # the shingle arrays never ride through the LSH shuffle.
     bands = sig.select(
-        "doc_id",
-        "sh",
-        "nsh",
-        F.explode(F.expr(_BAND_KEYS)).alias("bk"),
-    ).select("doc_id", "sh", "nsh", "bk.band", "bk.key")
+        "doc_id", F.explode(F.expr(_BAND_KEYS)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -219,20 +227,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.sh").alias("a_sh"),
-            F.col("b.sh").alias("b_sh"),
-            F.col("a.nsh").alias("a_n"),
-            F.col("b.nsh").alias("b_n"),
-        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), F.col("nsh").alias("a_n")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), F.col("nsh").alias("b_n")
     )
     common = F.size(F.array_intersect("a_sh", "b_sh"))
     jac = common * 1.0 / (F.col("a_n") + F.col("b_n") - common)
-    return cand.filter(jac >= 0.8).select(
-        "a_id", "b_id", F.round(jac, 6).alias("jac")
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(jac >= 0.8)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
     )
 
 
@@ -256,12 +266,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     high for the fixture's 0.97-Jaccard pairs). xxhash64-dependent → no
     DuckDB oracle; pinned by tests/test_dedup.py instead.
     """
+    # persist: the 64-bit sign-aggregation is the expensive map; both sides
+    # of the chunk self-join reuse the fingerprint table instead of
+    # recomputing it (same rationale as dedup_minhash_lsh's signature table)
     d = (
         _with_shingles(spark, sf_dir)
         .filter(F.col("nsh") > 0)
         .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
         .withColumn("simhash", F.expr(_SIMHASH))
         .select("doc_id", "simhash")
+        .persist()
     )
     chunks = d.select(
         "doc_id",

@@ -1,0 +1,151 @@
+"""Scale patterns: the join/layout techniques that matter at 100 TB.
+
+None of these change WHAT is computed — each oracle is the plain textbook
+join/agg — they change HOW, and the plan tests pin the "how":
+
+- bucketed co-located join : both fact tables pre-bucketed on the join key →
+  sort-merge join with ZERO exchanges. At 100 TB this is the difference
+  between re-shuffling terabytes per query and reading co-located buckets.
+- salted skew join         : a hot key would send one shuffle partition 100x
+  the data of its peers; salting replicates the dim side S ways and spreads
+  the fact side across (key, salt) — same result, flat partitions. (AQE's
+  skew-join split handles sort-merge skew reactively; salting is the
+  proactive pattern and works for any join type.)
+- exact percentiles        : ordered-statistic aggregation — the shape that
+  can NOT map-side-combine; Spark plans it as a single ObjectHashAggregate
+  pass. approx_percentile (t-digest) is the 100 TB default; the exact
+  version is the oracle-checkable baseline.
+
+Reference reach: delegated SQL slot only (``main.cc:181-182``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load, load_spread
+
+_BUCKETS = 8
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    ),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over tables bucketed on the join key.
+
+    Both sides are written once with ``bucketBy(8, key).sortBy(key)`` (the
+    one-time layout investment), then the merge join consumes matching
+    buckets directly — ``Bucketed: true`` in the scan, no Exchange in the
+    plan (pinned by tests/test_plans.py). The ``merge`` hint keeps AQE from
+    "helpfully" broadcasting the small fixture side, which would hide the
+    co-location this query exists to demonstrate.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/c2spark_buckets/{tag}"
+    li_t, o_t = f"c2s_li_b_{tag}".replace(".", "_"), f"c2s_o_b_{tag}".replace(".", "_")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{root}/lineitem")
+        .format("parquet")
+        .saveAsTable(li_t)
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{root}/orders")
+        .format("parquet")
+        .saveAsTable(o_t)
+    )
+    li = spark.table(li_t).hint("merge")
+    o = spark.table(o_t)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )
+
+
+_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, s_name "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    ),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join by key salting — result identical to the plain
+    join (that IS the oracle), but the shuffle key is (suppkey, salt) so a
+    hot supplier spreads over 8 partitions instead of melting one reducer.
+    The dim side is replicated 8x via explode(sequence(...)) — at 100 TB you
+    salt only the keys AQE's skew stats flag, not the whole table; doing it
+    wholesale here keeps the demo deterministic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT))
+    )
+    dim = s.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    return (
+        fact.join(
+            dim,
+            (fact.l_suppkey == dim.s_suppkey) & (fact.salt == dim.salt),
+        )
+        .select("l_orderkey", "l_linenumber", "s_name")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25, "
+        "ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
+        "ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75, "
+        "ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear-interpolation). Exact ordered
+    statistics buffer the group — fine here, wrong at 100 TB, where the
+    registered ``agg_approx_distinct``-style sketches (approx_percentile)
+    take over; this is their correctness baseline. Measured: spreading the
+    input first costs more than it saves here — the shuffle moves every
+    value once just to build partial buffers elsewhere, and the merge still
+    concatenates them; plain scan→partial→final wins."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(name)
+            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]
+        ]
+    )

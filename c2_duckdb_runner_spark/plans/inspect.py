@@ -1,0 +1,127 @@
+"""Physical-plan inspection — the engine's self-check for 100 TB readiness.
+
+The reference can't see its engine's plan at all (``main.cc:182`` hands SQL
+to a black box; SURVEY.md §3.2). We can — ``df.queryExecution`` exposes every
+phase — and this module turns the properties that decide scale behavior into
+assertable facts:
+
+- ``pushed_filters``   : predicates that reached the parquet reader
+                         (row-group/page skipping — the reference's whole
+                         read-bytes experiment, ``main.cc:107-113``, is about
+                         observing exactly this).
+- ``read_schema``      : column pruning — a 2-column projection must not
+                         scan 16 columns.
+- ``partition_filters``: hive-partition pruning (directory-level skipping).
+- ``shuffle_count``    : every Exchange is a cluster-wide data movement; the
+                         plan should carry exactly as many as the semantics
+                         require, none extra.
+- ``broadcast_joins``  : small dims must broadcast, not shuffle the fact.
+- ``codegen_spans``    : whole-stage-codegen coverage — expressions fused
+                         into JVM loops instead of interpreted.
+
+tests/test_plans.py pins these for the headline queries, so a regression
+that silently de-optimizes a plan (a lost pushdown, an accidental shuffle)
+fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The full `EXPLAIN FORMATTED` text of the physical plan."""
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def simple_plan(df: DataFrame) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All predicates pushed into file scans, e.g. 'GreaterThan(value,0.5)'."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            # split on top-level commas (filter reprs contain commas inside parens)
+            depth, cur = 0, ""
+            for ch in body:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    out.append(cur.strip())
+                    cur = ""
+                else:
+                    cur += ch
+            if cur.strip():
+                out.append(cur.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings, one per file scan (column-pruning check)."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: (struct<[^\n]*>)", formatted_plan(df))
+    ]
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.append(body)
+    return out
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators (shuffles / broadcasts are separate)."""
+    return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    # match only the numbered detail headers — each operator also appears in
+    # the plan tree, which would double-count
+    return len(
+        re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", formatted_plan(df))
+    )
+
+
+def sortmerge_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"\(\d+\) SortMergeJoin", formatted_plan(df)))
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen regions; wider spans = fewer interpreted
+    boundaries. 0 means the plan fell off the codegen path entirely."""
+    return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
+
+
+def scan_count(df: DataFrame) -> int:
+    return len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df)))
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call summary used by tests and by hand during tuning."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "partition_filters": partition_filters(df),
+        "shuffles": shuffle_count(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "sortmerge_joins": sortmerge_join_count(df),
+        "codegen_spans": codegen_span_count(df),
+        "scans": scan_count(df),
+    }

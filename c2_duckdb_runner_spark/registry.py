@@ -71,10 +71,12 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.setops  # noqa: F401
     import c2_duckdb_runner_spark.functions.scalar  # noqa: F401
     import c2_duckdb_runner_spark.functions.complex  # noqa: F401
+    import c2_duckdb_runner_spark.functions.udfs  # noqa: F401
     import c2_duckdb_runner_spark.operators.dedup  # noqa: F401
     import c2_duckdb_runner_spark.operators.simsearch  # noqa: F401
     import c2_duckdb_runner_spark.operators.textanalysis  # noqa: F401
     import c2_duckdb_runner_spark.operators.multimodal  # noqa: F401
+    import c2_duckdb_runner_spark.operators.scale_patterns  # noqa: F401
     import c2_duckdb_runner_spark.sources.formats  # noqa: F401
     import c2_duckdb_runner_spark.streaming.queries  # noqa: F401
 

@@ -50,16 +50,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
-    """Drive a streaming frame to completion; return sink rows statically."""
+    """Drive a streaming frame to completion; return sink rows statically.
+
+    State width: each stateful shuffle partition owns a state store whose
+    per-microbatch commit is a fixed cost; at fixture scale 32 stores are
+    pure overhead, so stream queries run at 8 (restored afterwards). On a
+    real cluster you'd size this to the key cardinality instead.
+    """
     name = f"c2s_sink_{os.getpid()}_{next(_SINK_IDS)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(name)
     out = spark.createDataFrame(sink.collect(), schema=sink.schema)
     spark.catalog.dropTempView(name)
