@@ -122,6 +122,60 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BAND = 1000.0  # price band width
+
+
+@register(
+    "join_range_banded",
+    oracle=(
+        "SELECT l.l_orderkey, l.l_linenumber, p.p_partkey "
+        "FROM lineitem l JOIN part p "
+        "ON l.l_partkey = p.p_partkey "
+        "AND l.l_extendedprice BETWEEN p.p_retailprice - 500 "
+        "                          AND p.p_retailprice + 500"
+    ),
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate as an equi-join on band ids — the scale path for
+    theta joins (cf. join_theta_range, which documents the O(n·m)
+    BroadcastNestedLoop cost).
+
+    ``price BETWEEN anchor-500 AND anchor+500`` can only touch rows whose
+    ⌊price/1000⌋ band is within 1 of the anchor's band, so the probe side
+    replicates into its band±1 (3 rows) and the join becomes hash-equi on
+    (partkey, band) with the exact range re-checked after. Shuffle is keyed
+    and flat; no nested-loop anywhere. Same trick handles time-interval
+    joins at 100 TB (band = day bucket).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    probe = p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_retailprice") / _BAND) - 1,
+                F.floor(F.col("p_retailprice") / _BAND),
+                F.floor(F.col("p_retailprice") / _BAND) + 1,
+            )
+        ).alias("band"),
+    )
+    fact = li.withColumn("band", F.floor(F.col("l_extendedprice") / _BAND))
+    return (
+        fact.join(
+            probe,
+            (fact.l_partkey == probe.p_partkey) & (fact.band == probe.band),
+        )
+        .filter(
+            (F.col("l_extendedprice") >= F.col("p_retailprice") - 500)
+            & (F.col("l_extendedprice") <= F.col("p_retailprice") + 500)
+        )
+        .select("l_orderkey", "l_linenumber", "p_partkey")
+    )
+
+
 @register(
     "agg_percentiles",
     oracle=(

@@ -201,6 +201,33 @@ def run_scan(
     )
 
 
+def stream_rows(df, batch_hint: int = 2048):
+    """Vectorized pull loop — ``exec_vectorized_pull`` (main.cc:183-199).
+
+    The reference drains a streaming result handle chunk-at-a-time without
+    materializing the full result (``con.SendQuery`` + ``FetchRaw``). The
+    Spark twin is ``toLocalIterator``: partitions are produced on demand and
+    streamed to the driver one at a time; nothing beyond the in-flight
+    partition is ever resident. ``batch_hint`` only shapes the yielded row
+    batches (the reference's ~2048-row DataChunk granularity); transport
+    batching is per-partition either way.
+    """
+    batch: list = []
+    for row in df.toLocalIterator():
+        batch.append(row)
+        if len(batch) >= batch_hint:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def print_sample(df, n: int = 20, out=sys.stdout) -> None:
+    """Textual chunk printer — ``sink_print`` (main.cc:193-195, the
+    ``print_binary=0`` debug path; Spark's ``df.show`` is the same job)."""
+    print(df._jdf.showString(n, 0, False), file=out)
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI: ``python -m c2_duckdb_runner_spark.runner <datadir>...`` —
     the reference's ``./duckdb-runner <datadir>...`` (main.cc:368)."""
