@@ -112,12 +112,18 @@ def main() -> None:
     # reference's protocol.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key in keys:
         best = float("inf")
-        for _ in range(repeats):
-            t0 = time.monotonic()
-            _materialize(qs[key](spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
+        try:
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                _materialize(qs[key](spark, sf_dir))
+                best = min(best, time.monotonic() - t0)
+        except Exception as exc:  # one broken query must not sink the run
+            errors[key] = str(exc).split("\n", 1)[0][:200]
+            print(f"bench: {key} ERROR {errors[key]}", file=sys.stderr)
+            continue
         timings[key] = round(best, 4)
         print(f"bench: {key} {timings[key]:.3f}s", file=sys.stderr)
         # drop operator-internal caches (e.g. LSH signature tables) so later
@@ -125,19 +131,17 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-                "cpus": int(cpus),
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": int(cpus),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), flush=True)
     spark.stop()
 
 

@@ -85,6 +85,35 @@ def scan_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_schema_evolution",
+    oracle=(
+        "SELECT n_nationkey, n_name, NULL AS n_comment_v2 FROM nation "
+        "UNION ALL "
+        "SELECT n_nationkey, n_name, "
+        "concat('v2:', n_name) AS n_comment_v2 FROM nation"
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across files: generation 1 lacks a column that
+    generation 2 adds; ``mergeSchema`` reconciles them at read time (old
+    rows get NULL). At 100 TB datasets accrete columns for years — the
+    engine must read the union schema without rewriting history. (mergeSchema
+    costs a footer read per file; production pins the merged schema in a
+    catalog instead of re-inferring per query — both paths shown here.)"""
+    path = _out(sf_dir, "nation_evolving")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.mode("overwrite").parquet(f"{path}/gen=1")
+    nation.withColumn(
+        "n_comment_v2", F.concat(F.lit("v2:"), F.col("n_name"))
+    ).write.mode("overwrite").parquet(f"{path}/gen=2")
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .parquet(f"{path}/gen=1", f"{path}/gen=2")
+    )
+    return merged.select("n_nationkey", "n_name", "n_comment_v2")
+
+
+@register(
     "sink_arrow_columnar",
     oracle=(
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "

@@ -225,6 +225,65 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreach_batch",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total "
+        "FROM events GROUP BY event_type"
+    ),
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as a parquet append keyed by
+    batch id — the idempotent-writer pattern every production stream uses
+    when the target isn't a native streaming sink (warehouses, upsert
+    targets). The final table re-aggregates to per-type totals; with
+    availableNow the batches partition the input, so re-aggregation equals
+    the batch-free oracle."""
+    out_dir = f"/tmp/c2spark_io/{os.path.basename(os.path.normpath(sf_dir))}/fb_events"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+        )
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        # mode=overwrite + deterministic path per batch id = idempotent on
+        # retry, the exactly-once recipe for non-transactional targets
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.read.parquet(out_dir)
+    # complete mode rewrites the whole aggregate per batch; the last batch id
+    # carries the final state
+    last = final.agg(F.max("batch_id")).collect()[0][0]
+    return (
+        final.filter(F.col("batch_id") == last)
+        .select(
+            "event_type", "n", F.col("total_dec").cast("double").alias("total")
+        )
+    )
+
+
+@register(
     "stream_stateful_counts",
     oracle="SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
 )

@@ -80,6 +80,18 @@ def test_stream_rows_pull_loop(spark):
     assert total == 5000
 
 
+def test_approx_distinct_within_rsd(spark):
+    """agg_approx_distinct is rows-only for the oracle (HLL internals are
+    engine-specific); pin its accuracy against the exact count instead.
+    Default rsd is 5%; allow 3 sigma."""
+    ev = load(spark, SF, "events")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(
+        F.approx_count_distinct("user_id").alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) <= max(3, 0.15 * exact), (approx, exact)
+
+
 def test_print_sample_sink(spark):
     """sink_print parity (main.cc:193-195): textual output, no exceptions."""
     buf = io.StringIO()
