@@ -70,31 +70,41 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stage: binary payload → (width, height, n_pixels) via an
     Arrow-batched mapInPandas pass. One map-only stage; at 100 TB the decode
     cost dominates and parallelism is per input split, no shuffle."""
-    src = _payloads(spark, sf_dir)
+    # Metadata-struct fields are flattened JVM-side before the pandas stage:
+    # the UDF only receives the columns the decoder actually touches, so the
+    # Arrow transfer carries no struct and the field extraction stays in
+    # codegen instead of a per-row Python dict access.
+    src = _payloads(spark, sf_dir).select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        "payload",
+    )
     # Capture as a plain local: the closure must stay self-contained (no
     # module-global function refs) or cloudpickle pickles it by reference
     # and executors without this repo on sys.path can't deserialize it.
     has_pil = _HAS_PIL
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _dims(payload: bytes) -> tuple[int, int]:
+        for pdf in batches:
             if has_pil:
                 raise NotImplementedError(
                     "real image decode not wired up; payloads are synthetic"
                 )
-            n = len(payload)
-            return (n % 509) + 16, (n % 353) + 16
-
-        for pdf in batches:
-            dims = [_dims(p) for p in pdf["payload"]]
+            # A real decoder is per-payload; the stub's "dimensions" need
+            # only the byte length, so compute them vectorized over the
+            # whole Arrow batch.
+            n = pdf["payload"].map(len)
+            width = (n % 509 + 16).astype("int32")
+            height = (n % 353 + 16).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "modality": [m["modality"] for m in pdf["meta"]],
-                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
-                    "width": [w for w, _ in dims],
-                    "height": [h for _, h in dims],
-                    "n_pixels": [w * h for w, h in dims],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": width,
+                    "height": height,
+                    "n_pixels": (width * height).astype("int64"),
                 }
             )
 
