@@ -111,3 +111,26 @@ def test_salted_join_shuffles_on_salted_key(q):
     plan = pi.formatted_plan(q("join_salted_skew"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_latest_by_key_is_single_agg_no_window(q):
+    """Latest-record compaction must be ONE partial+final hash agg (max of
+    struct) — a row_number window would sort every raw row per partition."""
+    df = q("dedup_latest_by_key")
+    plan = pi.formatted_plan(df)
+    assert "Window" not in plan, plan[:800]
+    assert pi.shuffle_count(df) == 1, plan[:800]
+
+
+def test_sample_predicate_no_shuffle(q):
+    """Deterministic sampling is a pure scan-stage predicate: no exchange,
+    whole plan stays in one codegen span over the file scan."""
+    df = q("sample_deterministic")
+    assert pi.shuffle_count(df) == 0
+    assert pi.codegen_span_count(df) >= 1
+
+
+def test_sessionize_single_shuffle(q):
+    """Both windows and the session aggregate reuse ONE user_id exchange."""
+    df = q("sessionize_batch")
+    assert pi.shuffle_count(df) == 1, pi.formatted_plan(df)[:800]
