@@ -335,6 +335,103 @@ def agg_regression_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "upsert_merge_by_key",
+    oracle="""
+WITH base AS (
+  SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+  FROM events
+),
+updates AS (
+  SELECT event_id, ts_ms + 3600000 AS ts_ms, value * 2 AS value
+  FROM base WHERE event_id % 10 = 0
+),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates)
+SELECT event_id, ts_ms, value FROM unioned
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_ms DESC) = 1
+""",
+)
+def upsert_merge_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/MERGE compaction without a table format: base ∪ updates →
+    newest version per key wins. The synthetic update set (10% of events,
+    ts+1h, value doubled) stands in for a CDC batch. Same max-of-struct
+    single-agg shape as latest-record — the scalable way to express Delta's
+    MERGE when all you have is files: one union (no shuffle) + one hash
+    agg, versus a window sort over every version of every key. Update ts is
+    strictly later than its base row, so the winner is total-ordered."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"), "value"
+    )
+    updates = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        (F.col("ts_ms") + 3600000).alias("ts_ms"),
+        (F.col("value") * 2).alias("value"),
+    )
+    merged = (
+        ev.unionByName(updates)
+        .groupBy("event_id")
+        .agg(F.max(F.struct("ts_ms", "value")).alias("r"))
+    )
+    return merged.select("event_id", "r.ts_ms", "r.value")
+
+
+@register(
+    "agg_time_weighted",
+    oracle="""
+WITH o AS (
+  SELECT user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         LEAD(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS nxt_ms
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       ROUND(CAST(SUM(v * (nxt_ms - ts_ms)) AS DOUBLE)
+             / CAST(SUM(nxt_ms - ts_ms) AS DOUBLE), 6) AS twa
+FROM o
+WHERE nxt_ms IS NOT NULL
+GROUP BY user_id
+HAVING SUM(nxt_ms - ts_ms) > 0
+""",
+)
+def agg_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the hypertable/metrics pattern): each reading
+    weighted by how long it was current (lead(ts) - ts), per user. Weights
+    and values go through decimal so partial-agg merge order can't move the
+    hash; the HAVING guard removes zero-duration users so the division is
+    total under ANSI mode. One user_id shuffle serves the lead() window and
+    the aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    with_next = ev.withColumn("nxt_ms", F.lead("ts_ms").over(w)).filter(
+        F.col("nxt_ms").isNotNull()
+    )
+    return (
+        with_next.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("v") * (F.col("nxt_ms") - F.col("ts_ms")))
+            .cast("double")
+            .alias("wsum"),
+            F.sum(F.col("nxt_ms") - F.col("ts_ms")).cast("double").alias("dt"),
+        )
+        .filter(F.col("dt") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("wsum") / F.col("dt"), 6).alias("twa"),
+        )
+    )
+
+
+@register(
     "agg_bitwise",
     oracle="""
 SELECT o_orderstatus,

@@ -134,3 +134,20 @@ def test_sessionize_single_shuffle(q):
     """Both windows and the session aggregate reuse ONE user_id exchange."""
     df = q("sessionize_batch")
     assert pi.shuffle_count(df) == 1, pi.formatted_plan(df)[:800]
+
+
+def test_composite_join_tree_no_cartesian_dims_broadcast(q):
+    """The 6-table TPC-H Q5 tree: fixed-size dims must broadcast and no
+    join may degrade to a cartesian product."""
+    df = q("composite_local_supplier_volume")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.broadcast_join_count(df) >= 2, plan[:800]
+
+
+def test_upsert_merge_is_union_plus_single_agg(q):
+    """MERGE-as-union+agg: no window sort, exactly one shuffle (the agg)."""
+    df = q("upsert_merge_by_key")
+    plan = pi.formatted_plan(df)
+    assert "Window" not in plan, plan[:800]
+    assert pi.shuffle_count(df) == 1, plan[:800]
