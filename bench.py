@@ -54,6 +54,8 @@ HEADLINE = [
     "text_tfidf_topterms",      # LLM-pipeline: TF-IDF corpus pass
     "mm_decode_image_stub",     # LLM-pipeline: multimodal decode plumbing
     "stream_tumbling",          # Structured Streaming windowed agg
+    "composite_local_supplier_volume",  # 6-table TPC-H Q5-shaped join tree
+    "sessionize_batch",         # gap sessionization (window + agg, 1 shuffle)
 ]
 
 
