@@ -151,3 +151,44 @@ def test_upsert_merge_is_union_plus_single_agg(q):
     plan = pi.formatted_plan(df)
     assert "Window" not in plan, plan[:800]
     assert pi.shuffle_count(df) == 1, plan[:800]
+
+
+def test_disjunctive_join_keeps_equi_hash(q):
+    """Q19-shaped OR-of-conjunctions: Catalyst must factor the common
+    p_partkey = l_partkey out of the disjunction — a hash join on the key,
+    never a nested-loop/cartesian over lineitem x part."""
+    df = q("composite_disjunctive_predicates")
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert pi.shuffle_count(df) == 1, plan[:800]
+
+
+def test_exists_is_semi_join_single_pass(q):
+    """Q4-shaped EXISTS: one semi-join (mixed equi + non-equi condition),
+    one aggregation shuffle — no duplicate-orders blowup, no subquery
+    re-scan."""
+    df = q("composite_order_priority_exists")
+    plan = pi.formatted_plan(df)
+    assert "LeftSemi" in plan, plan[:800]
+    assert pi.shuffle_count(df) == 1, plan[:800]
+
+
+def test_decorrelated_min_reuses_exchange(q):
+    """Q2-shaped correlated MIN: the qualified part<->supplier relation is
+    built once; the grouped-min side must reuse its shuffle exchange at
+    execution rather than re-scanning lineitem."""
+    df = q("composite_min_acctbal_supplier")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:1200]
+
+
+def test_double_exists_rewrite_no_correlated_rescan(q):
+    """Q21-shaped EXISTS + NOT EXISTS: the rewrite is one per-order stats
+    aggregation + one semi-join — no cartesian, no per-row re-scan of
+    lineitem (3 lineitem-derived scans max: lines, stats reuse, semi)."""
+    df = q("composite_waiting_orders")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
