@@ -56,6 +56,8 @@ HEADLINE = [
     "stream_tumbling",          # Structured Streaming windowed agg
     "composite_local_supplier_volume",  # 6-table TPC-H Q5-shaped join tree
     "sessionize_batch",         # gap sessionization (window + agg, 1 shuffle)
+    "dedup_cluster_cc",         # near-dup clusters: iterative label propagation
+    "simsearch_kmeans_assign",  # Lloyd assignment step (broadcast centroids)
 ]
 
 

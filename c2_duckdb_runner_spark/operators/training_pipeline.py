@@ -1,0 +1,315 @@
+"""Training-data pipeline operators II — the cluster/assignment/packing layer.
+
+dedup.py / simsearch.py / textanalysis.py cover the per-doc and per-pair
+primitives; this module adds the ops a 100 TB pretraining-data pipeline
+runs on top of them:
+
+- ``dedup_cluster_cc``       : near-dup PAIRS → duplicate CLUSTERS
+                               (connected components, iterative min-label
+                               propagation; DuckDB recursive-CTE oracle)
+- ``simsearch_kmeans_assign``: one Lloyd assignment step (the building
+                               block of IVF index training / clustering)
+- ``doc_pack_chunks``        : concat-and-chunk sequence packing into
+                               fixed context windows (GPT-style)
+- ``sample_stratified_exact``: exactly-N-per-stratum deterministic sampling
+- ``text_contamination_ngram``: benchmark-contamination check by shared
+                               n-gram shingles
+
+Scale notes (100 TB design point):
+- Connected components uses min-label propagation over the symmetrized
+  edge list: each iteration is ONE shuffle join keyed on node id, and the
+  iteration count is the component diameter (near-dup clusters are
+  shallow — a handful of rounds), not |V|. Lineage is truncated per round
+  with ``localCheckpoint`` so the plan doesn't grow with iterations. The
+  oracle computes the same fixpoint as a DuckDB recursive transitive
+  closure — exponential in the worst case but exact, which is the point:
+  the scalable rewrite is pinned against the textbook definition.
+- K-means assignment broadcasts the k centroid vectors and computes all
+  N×k distances map-side — zero shuffle until the per-vector argmin
+  (a row_number over k rows per vector). Distances accumulate per-dimension
+  squared diffs as exact DECIMAL(26,18) (a left-to-right fold in Spark, an
+  associative decimal SUM in DuckDB — exact arithmetic makes merge order
+  irrelevant), so the argmin tie-break (dist, centroid_id) is total.
+- Packing and stratified sampling are single-window passes partitioned by
+  the stratum key — one shuffle each, no global sort.
+- Contamination joins train shingles against the (small) benchmark shingle
+  set — at scale the benchmark side broadcasts; the count-distinct pair is
+  one partial-distinct aggregate keyed on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.operators.dedup import (
+    _SHINGLES_DUCK,
+    _with_shingles,
+    dedup_near_ngram_jaccard,
+)
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d),
+n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e0 AS (
+  SELECT a_id, b_id FROM p
+  JOIN n na ON na.doc_id = p.a_id JOIN n nb ON nb.doc_id = p.b_id
+  WHERE common * 1.0 / (na.nsh + nb.nsh - common) >= 0.8
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM e0
+  UNION SELECT b_id, a_id FROM e0
+  UNION SELECT doc_id, doc_id FROM documents
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
+""",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the Jaccard ≥ 0.8
+    near-dup pair graph, each doc labeled with the min doc_id reachable
+    from it (singletons label themselves).
+
+    Pairs only say A~B; dedup keep/drop decisions need transitive groups
+    (A~B, B~C ⇒ {A,B,C} is one cluster even if A~C fails the threshold).
+    Min-label propagation: every node starts as its own label; each round
+    takes the min of its own and its neighbors' labels; fixpoint = min id
+    of the component. Rounds scale with component DIAMETER (shallow for
+    dup clusters), each round one shuffle join on node id.
+    """
+    pairs = dedup_near_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b"))
+        )
+        .localCheckpoint(eager=True)  # pairs subtree is expensive; reuse it
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("a"), F.col("doc_id").alias("component_id")
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.a)
+            .groupBy(edges.a.alias("node"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.a == neighbor_min.node, "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                    < F.col("component_id")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("a").alias("doc_id"), "component_id")
+
+
+# ---------------------------------------------------------------------------
+# one Lloyd assignment step (IVF training building block)
+# ---------------------------------------------------------------------------
+@register(
+    "simsearch_kmeans_assign",
+    oracle="""
+WITH c AS (SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
+           WHERE vec_id < 8),
+terms AS (
+  SELECT e.vec_id, c.c_id,
+         SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  AS DECIMAL(26,18))) AS d2
+  FROM embeddings e CROSS JOIN c
+  CROSS JOIN UNNEST(range(1, len(e.embedding)+1)) AS t(i)
+  GROUP BY e.vec_id, c.c_id
+)
+SELECT vec_id, c_id AS centroid_id, ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) rn
+      FROM terms)
+WHERE rn = 1
+""",
+)
+def simsearch_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) assignment step: each embedding assigned to its
+    nearest of k=8 deterministic seed centroids (vec_id < 8), with squared
+    L2 distance.
+
+    This is the inner loop of IVF index training and embedding clustering.
+    Centroids broadcast; each vector computes its k distances map-side via
+    a zip_with fold — no shuffle until the trivial per-vector argmin.
+    Distances fold per-dimension squared diffs into DECIMAL(26,18):
+    exact, so Spark's sequential fold equals DuckDB's aggregate SUM
+    bit-for-bit and the (dist, centroid_id) argmin order is total."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    term = (
+        "zip_with(embedding, cvec, (a, b) -> "
+        "CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) "
+        "* (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS DECIMAL(26,18)))"
+    )
+    fold = (
+        f"aggregate({term}, CAST(0 AS DECIMAL(26,18)), "
+        "(acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_id")
+    return (
+        emb.crossJoin(cent)
+        .select("vec_id", "c_id", F.expr(fold).alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_id").alias("centroid_id"),
+            F.round(F.col("d2").cast("double"), 6).alias("dist2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+@register(
+    "doc_pack_chunks",
+    oracle="""
+SELECT doc_id, lang,
+  CAST(FLOOR((SUM(len(string_split(trim(text), ' ')))
+                OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING)
+              - len(string_split(trim(text), ' '))) / 256.0) AS BIGINT)
+    AS pack_id
+FROM documents
+""",
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (per language, in
+    doc_id order) and chunk the token stream into 256-token context
+    windows; each doc is labeled with the window its first token lands in.
+
+    floor(prefix_sum / ctx) over a running token count — one window pass
+    partitioned by the stratum key, one shuffle. (True greedy bin packing
+    — start a new bin when a doc would overflow — is inherently
+    sequential per stratum; concat-and-chunk is what large-scale training
+    pipelines actually use, and it stays a pure prefix-sum.)"""
+    tokens = F.size(F.split(F.trim(F.col("text")), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor((F.sum(tokens).over(w) - tokens) / 256.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-N-per-stratum deterministic sampling
+# ---------------------------------------------------------------------------
+@register(
+    "sample_stratified_exact",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+  FROM documents)
+WHERE rn <= 5
+""",
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, chosen by md5(doc_id) order — a
+    reproducible stratified sample (same rows on every engine and every
+    run, unlike rand()-based sampling).
+
+    One window shuffle keyed on the stratum. At 100 TB, rank-by-hash is
+    the standard exact-quota sampler: the hash order is uniform, so the
+    quota rows are an unbiased sample of each stratum."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check by shared n-gram shingles
+# ---------------------------------------------------------------------------
+@register(
+    "text_contamination_ngram",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d),
+bench AS (SELECT s, doc_id AS bench_id FROM sh WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+SELECT t.doc_id, COUNT(DISTINCT t.s) AS overlap_shingles,
+       COUNT(DISTINCT b.bench_id) AS n_bench_docs
+FROM train t JOIN bench b ON t.s = b.s
+GROUP BY t.doc_id
+""",
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: training docs sharing ≥ 1 four-token
+    shingle with the benchmark set (here: every 50th doc stands in for the
+    held-out benchmark), with how many shingles / benchmark docs overlap.
+
+    The benchmark shingle set is small by construction — broadcast it and
+    the whole check is a map-side join plus one count-distinct aggregate
+    keyed on doc_id. This is the standard n-gram decontamination pass run
+    before pretraining."""
+    sh = _with_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("s").alias("bs"), F.col("doc_id").alias("bench_id")
+        )
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(bench, F.col("s") == F.col("bs"))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("overlap_shingles"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )

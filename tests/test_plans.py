@@ -192,3 +192,19 @@ def test_double_exists_rewrite_no_correlated_rescan(q):
     plan = pi.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_kmeans_assign_broadcast_centroids_single_shuffle(q):
+    """Centroids broadcast; all N*k distances compute map-side; the only
+    exchange is the per-vector argmin window."""
+    df = q("simsearch_kmeans_assign")
+    assert pi.broadcast_join_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+    assert pi.shuffle_count(df) == 1, pi.formatted_plan(df)[:800]
+
+
+def test_pack_and_stratified_single_window_pass(q):
+    """Sequence packing and stratified sampling are one stratum-keyed
+    window shuffle each — no global sort, no extra exchange."""
+    assert pi.shuffle_count(q("doc_pack_chunks")) == 1
+    assert pi.shuffle_count(q("sample_stratified_exact")) == 1
