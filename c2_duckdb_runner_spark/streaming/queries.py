@@ -314,3 +314,97 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, counted, "update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched against the static
+    customer dim, then aggregated per market segment (complete mode).
+
+    The static side is planned per micro-batch as an ordinary batch
+    relation — broadcastable, no state store involved. Only the downstream
+    aggregation is stateful. This is the canonical streaming-enrichment
+    topology (stream fact ⨝ slowly-changing dim)."""
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        purchases.join(cust, purchases.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return _run_to_memory(spark, agg, "complete")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_type, {_DUCK_MS} AS ms, event_id FROM events)
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id, a.ms AS click_ms, b.ms AS purchase_ms
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ms BETWEEN a.ms AND a.ms + 7 * 86400000
+""",
+)
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join: clicks matched to purchases by the same
+    user within the following 7 days — the attribution-join topology.
+
+    Both sides carry watermarks and the join condition carries event-time
+    bounds, which is what lets each side's state store evict rows that can
+    no longer match (state is bounded by watermark + interval, not by the
+    stream length). Inner join in append mode: matches emit as both sides
+    arrive; under availableNow the result equals the batch join, which the
+    oracle computes."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_millis("c_ts").alias("click_ms"),
+        F.unix_millis("p_ts").alias("purchase_ms"),
+    )
+    return _run_to_memory(spark, joined, "append")
