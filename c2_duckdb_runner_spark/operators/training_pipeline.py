@@ -313,3 +313,117 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# full k-means training (iterative, exactly oracle-checked)
+# ---------------------------------------------------------------------------
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(iters: int = _KM_ITERS) -> str:
+    """Unroll the Lloyd loop into DuckDB CTEs, one (distance → argmin →
+    decimal-mean) block per iteration. Iterative algorithms are usually
+    rows-only; exact DECIMAL sums + identical IEEE double means make every
+    iteration bit-reproducible across engines, so the full training loop is
+    differentially checkable."""
+    sql = """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+cent_0 AS (SELECT vec_id AS c_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+           FROM embeddings WHERE vec_id < 8)"""
+    for t in range(1, iters + 2):
+        sql += f""",
+dist_{t} AS (
+  SELECT e.vec_id, c.c_id,
+         SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                  AS DECIMAL(26,18))) AS d2
+  FROM emb e CROSS JOIN cent_{t - 1} c
+  CROSS JOIN UNNEST(range(1, len(e.embedding)+1)) AS u(i)
+  GROUP BY e.vec_id, c.c_id),
+asg_{t} AS (
+  SELECT vec_id, c_id, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) rn
+    FROM dist_{t})
+  WHERE rn = 1)"""
+        if t <= iters:
+            sql += f""",
+cent_{t} AS (
+  SELECT c_id, list(m ORDER BY i) AS cvec FROM (
+    SELECT a.c_id, u.i,
+           CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(26,18)))
+                AS DOUBLE) / COUNT(*) AS m
+    FROM asg_{t} a JOIN emb e ON e.vec_id = a.vec_id
+    CROSS JOIN UNNEST(range(1, len(e.embedding)+1)) AS u(i)
+    GROUP BY a.c_id, u.i)
+  GROUP BY c_id)"""
+    sql += f"""
+SELECT vec_id, c_id AS centroid_id, ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+FROM asg_{iters + 1}
+"""
+    return sql
+
+
+@register("simsearch_kmeans_train", oracle=_kmeans_oracle())
+def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means training: 3 Lloyd iterations (assign → decimal-exact
+    centroid means) from the deterministic vec_id < 8 seeds, returning the
+    final assignment. The driver-side loop is the idiomatic Spark shape for
+    iterative ML: per-iteration plans stay small via localCheckpoint, the
+    centroid set (k × dim doubles) broadcasts, and the only wide exchange
+    per iteration is the (c_id, dim) mean aggregation.
+
+    Exactly oracle-checked despite being iterative: distances accumulate in
+    DECIMAL(26,18) (fold order irrelevant), means are exact-decimal sums
+    divided once in DOUBLE, and both engines start from identical float32
+    inputs — so every iteration, and therefore the fixpoint trajectory, is
+    bit-identical to the unrolled recursive SQL in DuckDB. Empty clusters
+    drop out of both sides identically (no rows → no centroid)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cvec"),
+    )
+    fold = (
+        "aggregate(zip_with(embedding, cvec, (a, b) -> "
+        "CAST((CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b) "
+        "AS DECIMAL(26,18))), CAST(0 AS DECIMAL(26,18)), "
+        "(acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_id")
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return (
+            emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "c_id", F.expr(fold).alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c_id", "d2")
+        )
+
+    for _ in range(_KM_ITERS):
+        asg = assign(cent)
+        cent = (
+            asg.join(emb, "vec_id")
+            .select("c_id", F.posexplode("embedding").alias("i", "val"))
+            .groupBy("c_id", "i")
+            .agg(
+                (
+                    F.sum(
+                        F.col("val").cast("double").cast("decimal(26,18)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("c_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+        )
+    return assign(cent).select(
+        "vec_id",
+        F.col("c_id").alias("centroid_id"),
+        F.round(F.col("d2").cast("double"), 6).alias("dist2"),
+    )
