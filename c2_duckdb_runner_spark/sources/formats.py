@@ -137,3 +137,15 @@ def sink_arrow_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield batch
 
     return li.mapInArrow(passthrough, schema=li.schema)
+
+
+@register("scan_orc_roundtrip", oracle="SELECT * FROM supplier")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source: the other first-class columnar format (native
+    reader/writer, predicate pushdown, column pruning — same scan planning
+    as parquet). Round-trip must equal the parquet original, which the
+    oracle reads directly."""
+    path = _out(sf_dir, "supplier_orc")
+    supplier = load(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(path)
+    return spark.read.schema(supplier.schema).orc(path)
