@@ -83,6 +83,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.pipeline_patterns  # noqa: F401
     import c2_duckdb_runner_spark.operators.training_pipeline  # noqa: F401
     import c2_duckdb_runner_spark.operators.modern_sql  # noqa: F401
+    import c2_duckdb_runner_spark.operators.corpus_curation  # noqa: F401
     import c2_duckdb_runner_spark.sources.formats  # noqa: F401
     import c2_duckdb_runner_spark.streaming.queries  # noqa: F401
 

@@ -408,3 +408,115 @@ def stream_stream_interval_join(
         F.unix_millis("p_ts").alias("purchase_ms"),
     )
     return _run_to_memory(spark, joined, "append")
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) * 1000000) AS BIGINT)
+         AS total_micros
+FROM events GROUP BY user_id
+""",
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas (the
+    Spark 4 successor to applyInPandasWithState): a per-user running
+    (count, sum) kept in a typed ValueState, updated per micro-batch.
+
+    Determinism: `value` is cast to DECIMAL(18,6) JVM-side and shipped to
+    the processor as integer micros, so state updates are exact int64
+    adds — order-independent, replayable by the oracle. The API requires
+    the RocksDB state-store provider (virtual-column-family state), pinned
+    for the query and restored after.
+
+    Environment gate: transformWithStateInPandas speaks protobuf to its
+    state server; when `google.protobuf` is absent (this container bakes
+    no protobuf and installs are off) the same processor semantics run
+    through applyInPandasWithState instead — identical state type,
+    identical emissions, identical oracle."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return _tws_fallback_apply_in_pandas(spark, sf_dir)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n BIGINT, t BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, t = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                t += int(pdf["micros"].sum())
+            self._state.update((n, t))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total_micros": [t]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("micros"),
+    )
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType="user_id BIGINT, n BIGINT, total_micros BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+    try:
+        return _run_to_memory(spark, out, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
+def _tws_fallback_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of stream_transform_with_state: the same
+    (count, micros-sum) ValueState semantics on the Spark 3-era API, used
+    only when protobuf is unavailable."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def agg_fn(key, pdfs, state):
+        n, t = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            t += int(pdf["micros"].sum())
+        state.update((n, t))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total_micros": [t]})
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("micros"),
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        agg_fn,
+        outputStructType="user_id BIGINT, n BIGINT, total_micros BIGINT",
+        stateStructType="n BIGINT, t BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(spark, out, "update")
