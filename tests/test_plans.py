@@ -208,3 +208,49 @@ def test_pack_and_stratified_single_window_pass(q):
     window shuffle each — no global sort, no extra exchange."""
     assert pi.shuffle_count(q("doc_pack_chunks")) == 1
     assert pi.shuffle_count(q("sample_stratified_exact")) == 1
+
+
+def test_paragraph_dedup_two_shuffles_no_cartesian(q):
+    """Chunk dedup is exactly the frequency agg + per-doc rollup (the join
+    back rides the hash partitioning); nothing quadratic."""
+    df = q("dedup_paragraph_chunks")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert pi.shuffle_count(df) <= 4  # freq agg, join sides, doc rollup
+
+
+def test_cooccurrence_prunes_before_pairing(q):
+    """The vocabulary must broadcast (Apriori prune), and the final top-20
+    must be TakeOrderedAndProject, not a global sort."""
+    df = q("text_cooccurrence_pairs")
+    plan = pi.formatted_plan(df)
+    assert pi.broadcast_join_count(df) >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_file_prune_stats_reads_subset(q, spark, sf_dir):
+    """Data skipping must scan strictly fewer files than the full layout:
+    the pruned scan's file count < 8 (the range-partitioned file count)."""
+    import glob as _glob
+
+    df = q("scan_file_prune_stats")
+    df.collect()  # materialize so the layout exists
+    import os as _os
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    files = _glob.glob(f"/tmp/c2spark_io/{tag}/lineitem_by_shipdate/part-*")
+    plan = pi.formatted_plan(df)
+    scanned = plan.count("part-")
+    assert len(files) == 8, files
+    # the date band 1997 covers ~1/7 of the 1995-2001 range; pruning must
+    # drop most files (plan embeds only the kept paths)
+    kept = [f for f in files if _os.path.basename(f).split("-")[1] in plan]
+    assert 0 < len(kept) < 8, (len(kept), plan[:400])
+
+
+def test_pii_and_gopher_are_map_only(q):
+    """Per-doc curation ops must plan zero exchanges — scan → project."""
+    assert pi.shuffle_count(q("text_pii_redact")) == 0
+    assert pi.shuffle_count(q("text_gopher_quality")) == 0
