@@ -1,0 +1,146 @@
+"""Graph operators over the order network: PageRank and degree profiles.
+
+Graph analytics is outside the reference's own operator set (its SQL slot,
+``main.cc:181-182``, could express it only via recursive SQL); it is
+first-class in a training-data pipeline — link-based quality scores
+(PageRank over a citation/link graph) are a standard corpus-weighting
+signal.
+
+Graph: the customer–supplier trade network. Every (customer, supplier)
+pair connected through an order is an edge, materialized in BOTH
+directions, so the graph is cyclic and ranks keep moving each iteration.
+Supplier node ids are offset by 10M to keep the two key spaces disjoint.
+
+Determinism: ranks live as int64 micro-units; per-edge contributions use
+integer division, damping is (850 * s) div 1000. Every iteration is exact,
+so a programmatically unrolled DuckDB CTE chain replays the whole run
+bit-for-bit (same approach as simsearch_kmeans_train).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+_OFFSET = 10_000_000
+_ITERS = 3
+
+_EDGES_SQL = f"""
+  SELECT DISTINCT o_custkey AS src, {_OFFSET} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT {_OFFSET} + l_suppkey AS src, o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        "o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp")
+    )
+    fwd = pairs.select(F.col("o_custkey").alias("src"), F.col("supp").alias("dst"))
+    rev = pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
+    return fwd.union(rev).distinct()
+
+
+def _pagerank_oracle() -> str:
+    """Unroll _ITERS exact integer PageRank steps as a DuckDB CTE chain."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, _ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, SUM(r{i-1}.r // d.outdeg) AS s "
+            f"FROM edges e JOIN r{i-1} ON r{i-1}.id = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.id, CAST(150000 + (850 * COALESCE(c{i}.s, 0)) "
+            f"// 1000 AS BIGINT) AS r FROM nodes n "
+            f"LEFT JOIN c{i} ON c{i}.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, r AS rank_micros FROM r{_ITERS}"
+    )
+
+
+@register("graph_pagerank_iterations", oracle=_pagerank_oracle())
+def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {_ITERS} exact Lloyd-style iterations (damping 0.85,
+    integer micro-units). Per iteration: contributions flow src→dst over
+    the edge list (one dst-keyed shuffle), damped, and re-joined to the
+    node spine for sourceless nodes.
+
+    Scale shape: edges carry their out-degree (joined once up front,
+    persisted, partitioned by src); each iteration is edges ⨝ ranks on
+    src (co-partitioned after the first round) + one groupBy(dst)
+    shuffle. Ranks are localCheckpoint-ed per round so the lineage stays
+    flat — the same iterative-algorithm discipline as dedup_cluster_cc
+    and simsearch_kmeans_train. Dangling mass: nodes here always have
+    out-edges (the graph is symmetrized); the general dangling-node
+    redistribution term is deliberately out of scope and documented."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition(32, "src")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("id", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(150_000)
+                    + F.expr("850 * coalesce(s, 0L) div 1000")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select("id", F.col("r").alias("rank_micros"))
+    edges_deg.unpersist()
+    nodes.unpersist()
+    return out
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH edges AS ({_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY outdeg
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram (the first thing anyone computes on a graph): two
+    chained aggregations — per-node degree, then nodes per degree. The
+    second groupBy keys on low-cardinality outdeg, but its input is
+    already one row per node (the heavy reduction happened in shuffle #1),
+    so the skew ceiling is |V|, not |E|."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    return deg.groupBy("outdeg").agg(F.count("*").alias("n_nodes"))

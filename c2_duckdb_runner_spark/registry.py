@@ -84,6 +84,8 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.training_pipeline  # noqa: F401
     import c2_duckdb_runner_spark.operators.modern_sql  # noqa: F401
     import c2_duckdb_runner_spark.operators.corpus_curation  # noqa: F401
+    import c2_duckdb_runner_spark.operators.cdc_timeseries  # noqa: F401
+    import c2_duckdb_runner_spark.operators.graph  # noqa: F401
     import c2_duckdb_runner_spark.sources.formats  # noqa: F401
     import c2_duckdb_runner_spark.streaming.queries  # noqa: F401
 

@@ -254,3 +254,28 @@ def test_pii_and_gopher_are_map_only(q):
     """Per-doc curation ops must plan zero exchanges — scan → project."""
     assert pi.shuffle_count(q("text_pii_redact")) == 0
     assert pi.shuffle_count(q("text_gopher_quality")) == 0
+
+
+def test_scd2_single_shuffle_window_reuse(q):
+    """Both SCD2 window passes key on o_custkey: Catalyst must plan ONE
+    exchange and reuse the sort — the billion-row change-feed shape."""
+    df = q("cdc_scd2_merge")
+    assert pi.shuffle_count(df) == 1
+    assert pi.scan_count(df) == 1
+
+
+def test_profile_single_scan(q):
+    """All columns profile in one pass: 1 scan, partial+final agg only."""
+    df = q("profile_table_summary")
+    assert pi.scan_count(df) == 1
+    assert pi.shuffle_count(df) <= 2
+
+
+def test_gap_fill_copartitioned(q):
+    """Spine join and window passes share user_id partitioning: no
+    sort-merge cascade, bounded shuffles, no cartesian spine blowup."""
+    df = q("ts_gap_fill_interpolate")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.sortmerge_join_count(df) == 0
+    assert pi.shuffle_count(df) <= 3
