@@ -1,0 +1,155 @@
+"""String-similarity joins and multi-dimensional layout operators.
+
+Two more scale patterns the reference reaches only through its delegated
+SQL slot (``main.cc:181-182``):
+
+- Edit-distance near-dup pairing with attribute blocking — the fuzzy-match
+  step of entity resolution, kept sub-quadratic by equi-joining on a
+  blocking key before any Levenshtein is computed.
+- Z-order (Morton-curve) clustering — the multi-column data-skipping
+  layout behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits of two
+  join keys so ONE range-partitioned layout keeps min/max file stats tight
+  on BOTH columns at once.
+
+Both engines ship ``levenshtein`` and 64-bit shifts natively, so every
+step is oracle-replayable with no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+_MAX_DIST = 2
+
+
+@register(
+    "dedup_editdistance_blocked",
+    oracle=f"""
+WITH p AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[2] AS block,
+         length(p_name) AS ln
+  FROM part
+)
+SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+       a.p_name AS name1, b.p_name AS name2,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM p a JOIN p b
+  ON a.block = b.block
+ AND a.p_partkey < b.p_partkey
+ AND abs(a.ln - b.ln) <= {_MAX_DIST}
+WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+""",
+)
+def dedup_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over part names ('red bolt' ~ 'old
+    bolt'), blocked on the head noun: the Levenshtein predicate only runs
+    inside equi-join blocks, never across the full cross product. The
+    length-band filter (|len diff| <= {_MAX_DIST}) is a free lower bound
+    on edit distance, applied before the O(len^2) DP. At corpus scale the
+    block key is the unit of shuffle — pick it to bound block size, the
+    same discipline as dedup_near_ngram_jaccard's shingle blocks."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(1).alias("block"),
+        F.length("p_name").alias("ln"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= _MAX_DIST),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return cand.filter(dist <= _MAX_DIST).select(
+        F.col("a.p_partkey").alias("k1"),
+        F.col("b.p_partkey").alias("k2"),
+        F.col("a.p_name").alias("name1"),
+        F.col("b.p_name").alias("name2"),
+        dist.cast("int").alias("dist"),
+    )
+
+
+_ZBITS = 16
+_ZBUCKETS = 8
+
+
+def _z_spark() -> F.Column:
+    """Interleave the low 16 bits of (l_partkey, l_suppkey) into a Morton
+    code — disjoint bit positions, so sums stand in for ORs."""
+    return F.expr(
+        f"aggregate(sequence(0, {_ZBITS - 1}), 0L, (acc, i) -> acc"
+        " + pmod(shiftright(l_partkey, i), 2) * shiftleft(1L, 2 * i)"
+        " + pmod(shiftright(l_suppkey, i), 2) * shiftleft(1L, 2 * i + 1))"
+    )
+
+
+_Z_DUCK = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(i AS BIGINT) FOR i IN"
+    f" range(0, {_ZBITS})]), (acc, i) -> acc"
+    " + ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))"
+    " + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))"
+)
+
+
+@register(
+    "layout_zorder_cluster",
+    oracle=f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey, {_Z_DUCK} AS zval,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), b AS (
+  SELECT l_partkey, l_suppkey,
+         NTILE({_ZBUCKETS}) OVER (ORDER BY zval, l_orderkey, l_linenumber)
+           AS bucket
+  FROM z
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+       MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+FROM b GROUP BY bucket
+""",
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering of lineitem on (l_partkey, l_suppkey): Morton-
+    interleave the two keys, split the curve into {_ZBUCKETS} equal
+    buckets, and report each bucket's min/max on BOTH dimensions — the
+    per-file stats a predicate on EITHER column would prune against.
+    Compare with scan_file_prune_stats, whose 1-D range layout is tight
+    on one column and useless on the other.
+
+    The oracle-checkable bucketing uses NTILE over the curve order (exact,
+    engine-agnostic); the production write path is
+    repartitionByRange(zval) + write, which this operator also exercises
+    (the range exchange samples the same curve, no global sort)."""
+    from pyspark.sql.window import Window
+    import os
+
+    z = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+        _z_spark().alias("zval"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    (
+        z.repartitionByRange(_ZBUCKETS, "zval")
+        .write.mode("overwrite")
+        .parquet(f"/tmp/c2spark_io/{tag}/lineitem_zorder")
+    )
+    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    b = z.select(
+        "l_partkey", "l_suppkey", F.ntile(_ZBUCKETS).over(w).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_suppkey").alias("sk_min"),
+        F.max("l_suppkey").alias("sk_max"),
+    )
