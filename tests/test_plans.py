@@ -279,3 +279,19 @@ def test_gap_fill_copartitioned(q):
     assert "CartesianProduct" not in plan
     assert pi.sortmerge_join_count(df) == 0
     assert pi.shuffle_count(df) <= 3
+
+
+def test_funnel_single_user_shuffle(q):
+    """The whole ordered funnel is ONE user_id aggregation (stage chaining
+    is array-lambda work) + the singleton rollup — no self-joins."""
+    df = q("funnel_view_click_purchase")
+    assert pi.shuffle_count(df) == 2  # user agg + final global reduce
+    assert pi.scan_count(df) == 1
+
+
+def test_asof_tolerance_single_shuffle(q):
+    """Tolerance as-of matches in one user_id window pass over the union
+    of both sides — the same shape plan as join_asof."""
+    df = q("join_asof_tolerance")
+    assert pi.shuffle_count(df) == 1
+    assert pi.scan_count(df) == 1
