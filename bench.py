@@ -58,6 +58,12 @@ HEADLINE = [
     "sessionize_batch",         # gap sessionization (window + agg, 1 shuffle)
     "dedup_cluster_cc",         # near-dup clusters: iterative label propagation
     "simsearch_kmeans_assign",  # Lloyd assignment step (broadcast centroids)
+    "dedup_paragraph_chunks",   # LLM-pipeline: C4-style chunk-level dedup
+    "text_pii_redact",          # LLM-pipeline: map-only regex redaction
+    "funnel_view_click_purchase",  # one-shuffle ordered funnel
+    "cdc_scd2_merge",           # change feed -> versioned dim, 1 shuffle
+    "graph_pagerank_iterations",   # iterative integer PageRank (3 rounds)
+    "layout_zorder_cluster",    # Morton clustering + range-partitioned write
 ]
 
 

@@ -88,7 +88,10 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     and simsearch_kmeans_train. Dangling mass: nodes here always have
     out-edges (the graph is symmetrized); the general dangling-node
     redistribution term is deliberately out of scope and documented."""
-    edges = _edges(spark, sf_dir)
+    # the edge build (join + symmetrize + distinct) feeds deg, the node
+    # spine, and the contribution loop — persist it once or every consumer
+    # replays the order⨝lineitem join
+    edges = _edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_deg = (
         edges.join(deg, "src")
@@ -118,9 +121,14 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("850 * coalesce(s, 0L) div 1000")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=False)
+            # eager: materialize each round NOW, while the edge/node caches
+            # are alive — the final action then reads the checkpoint instead
+            # of replaying 3 rounds of lineage (and the caches can be
+            # dropped safely before returning)
+            .localCheckpoint(eager=True)
         )
     out = ranks.select("id", F.col("r").alias("rank_micros"))
+    edges.unpersist()
     edges_deg.unpersist()
     nodes.unpersist()
     return out
