@@ -1,0 +1,160 @@
+"""Sketch aggregates and time-series downsampling: mergeable HLL sketches,
+GK approximate percentiles, OHLC bars, and EXISTS-annotation.
+
+Sketches are THE 100 TB aggregation strategy: a sketch is a small mergeable
+partial state, so distinct counts and percentiles compute with map-side
+partials, merge across partitions/days/increments, and never hold raw
+values. Reached through the reference's delegated SQL slot
+(``main.cc:181-182``); DuckDB's approx_count_distinct/approx_quantile are
+the same capability with different sketch internals, so the sketch queries
+are rows-only for the oracle and accuracy-pinned by tests/test_sketches.py
+against exact twins.
+
+Scale notes:
+- ``agg_hll_sketch_union`` demonstrates re-aggregatable distincts: per-type
+  sketches persist as binary columns; the global count is a UNION of
+  sketches, not a re-scan — incremental distinct maintenance.
+- ``agg_approx_percentile`` is one pass, bounded memory (GK summary with
+  rank error n/accuracy) vs the exact ordered-statistic baseline
+  (``agg_percentiles``) that buffers values.
+- ``ts_ohlc_bars`` computes open/close as min/max-of-(ms, id, value)
+  structs — a map-side-combinable single aggregate, no per-bar window
+  sort; the canonical columnar downsampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+_HOUR_MS = 3_600_000
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) // {_HOUR_MS} AS hr,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id, value
+  FROM events
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id, hr ORDER BY ms, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id, hr ORDER BY ms DESC, event_id DESC)
+      AS rn_d
+  FROM e
+)
+SELECT user_id, hr,
+       CAST(MIN(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+       CAST(MAX(value) AS DOUBLE) AS high,
+       CAST(MIN(value) AS DOUBLE) AS low,
+       CAST(MIN(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM ranked GROUP BY user_id, hr
+""",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling per user: open/close are the values at the
+    (ms, event_id)-min/max — computed as min/max of a (ms, event_id,
+    value) struct inside ONE grouped aggregate, so the whole bar builder
+    is a single map-side-combinable pass with no window sort (the oracle
+    spells the same semantics with ROW_NUMBER). event_id uniqueness makes
+    the order total, so ties at the same millisecond are deterministic."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_millis(ts) div {_HOUR_MS}").alias("hr"),
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        "value",
+    )
+    return e.groupBy("user_id", "hr").agg(
+        F.min(F.struct("ms", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("ms", "event_id", "value"))["value"].alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
+@register(
+    "join_exists_projection",
+    oracle="""
+SELECT o.o_orderkey,
+       EXISTS(SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         AS has_bulk,
+       NOT EXISTS(SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+         AS no_deep_discount
+FROM orders o
+""",
+)
+def join_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as PROJECTED booleans (not filters): annotate
+    every order with per-subquery flags. Catalyst plans each as an
+    ExistenceJoin — a semi-join variant that emits the match bit instead
+    of dropping rows — so both probes hash-join on o_orderkey; no
+    per-row re-scan, no row loss. The flag-annotation shape feeds label
+    columns in curation pipelines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+    return spark.sql("""
+SELECT o.o_orderkey,
+       EXISTS(SELECT 1 FROM lineitem_ex l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         AS has_bulk,
+       NOT EXISTS(SELECT 1 FROM lineitem_ex l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+         AS no_deep_discount
+FROM orders_ex o
+""")
+
+
+@register("agg_hll_sketch_union", oracle=None)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build one
+    user_id sketch per event_type, then derive BOTH per-type estimates and
+    the global estimate by UNIONING the sketches — the global count never
+    re-touches raw data. This re-aggregatability is what makes distinct
+    counting incremental at 100 TB: persist per-partition/day sketch
+    columns, merge on read. Sketch internals are engine-specific, so the
+    oracle is rows-only; accuracy is pinned by tests/test_sketches.py
+    against exact distinct counts."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias("approx_users"),
+        "n_events",
+    )
+    merged = per_type.agg(
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias(
+            "approx_users"
+        ),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_events")
+    return typed.unionByName(merged)
+
+
+@register("agg_approx_percentile", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna summary): p50/p95/p99 of
+    extended price per return flag in one bounded-memory pass — the scale
+    path next to the exact ordered-statistic baseline (agg_percentiles),
+    which buffers every value. Rank error ≤ n/accuracy (accuracy 10000).
+    GK summaries are engine-specific (DuckDB uses t-digest), so the
+    oracle is rows-only; tests/test_sketches.py pins the rank-error bound
+    against the exact answer."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("pcts"),
+    )

@@ -295,3 +295,40 @@ def test_asof_tolerance_single_shuffle(q):
     df = q("join_asof_tolerance")
     assert pi.shuffle_count(df) == 1
     assert pi.scan_count(df) == 1
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(q):
+    """The correlated LATERAL ORDER BY..LIMIT must decorrelate into a ranked
+    window with WindowGroupLimit (map-side partial top-k) + a broadcast of
+    the outer dim — never a per-outer-row re-scan or nested loop."""
+    df = q("join_lateral_topk")
+    plan = pi.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_chunk_overlap_is_map_only(q):
+    """Overlapping chunk generation is explode-over-sequence in the scan
+    stage: fan-out with ZERO exchanges."""
+    assert pi.shuffle_count(q("doc_chunk_overlap")) == 0
+
+
+def test_pq_assign_broadcast_codebook_single_shuffle(q):
+    """PQ codebooks broadcast; all distances fold map-side; the per-
+    (vector, subspace) argmin is a min-of-struct aggregate — exactly one
+    exchange, no window sort."""
+    df = q("simsearch_pq_assign")
+    assert pi.broadcast_join_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+    assert pi.shuffle_count(df) == 1, pi.formatted_plan(df)[:800]
+    assert "Window" not in pi.formatted_plan(df)
+
+
+def test_weighted_mixture_scan_stage_predicate(q):
+    """Mixture sampling = broadcast weights join + per-source agg: the only
+    exchange is the aggregate's."""
+    df = q("sample_weighted_mixture")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.shuffle_count(df) == 1
