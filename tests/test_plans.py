@@ -332,3 +332,21 @@ def test_weighted_mixture_scan_stage_predicate(q):
     df = q("sample_weighted_mixture")
     assert pi.broadcast_join_count(df) >= 1
     assert pi.shuffle_count(df) == 1
+
+
+def test_ohlc_single_agg_no_window(q):
+    """OHLC bars must be ONE grouped aggregate (open/close as min/max of
+    struct) — no per-bar window sort, one exchange."""
+    df = q("ts_ohlc_bars")
+    plan = pi.formatted_plan(df)
+    assert "Window" not in plan, plan[:800]
+    assert pi.shuffle_count(df) == 1, plan[:800]
+
+
+def test_exists_projection_plans_existence_joins(q):
+    """Projected EXISTS flags must plan as ExistenceJoin hash probes (the
+    flag-emitting semi-join variant) — no nested loop, no row loss."""
+    df = q("join_exists_projection")
+    plan = pi.formatted_plan(df)
+    assert "ExistenceJoin" in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan

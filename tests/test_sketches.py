@@ -1,0 +1,63 @@
+"""Accuracy pins for the rows-only sketch queries (no DuckDB oracle —
+sketch internals are engine-specific), each checked against an exact twin
+computed in the same session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def test_hll_sketch_union_within_error(spark, sf_dir):
+    """Per-type and merged HLL estimates must sit within the sketch's
+    published error envelope (lgK=12 → ~1.6% rsd; allow 5% + slack for
+    small counts), and the merged row must cover the union exactly once."""
+    from c2_duckdb_runner_spark.tables import load
+
+    res = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_hll_sketch_union"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    exact_per = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for t, exact in exact_per.items():
+        assert abs(res[t] - exact) <= max(3, 0.05 * exact), (t, res[t], exact)
+    assert abs(res["__all__"] - exact_all) <= max(3, 0.05 * exact_all)
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """GK rank error is n/accuracy; with accuracy=10000 the estimated
+    quantile's true rank must be within n/10000 (+1 slack) of the target
+    rank, checked per group for p50/p95/p99."""
+    from c2_duckdb_runner_spark.tables import load
+
+    rows = QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    for r in rows:
+        flag, n, pcts = r["l_returnflag"], r["n"], r["pcts"]
+        vals = [
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        ]
+        vals.sort()
+        for p, est in zip((0.5, 0.95, 0.99), pcts):
+            # true rank of the estimate must be near the target rank
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target = p * n
+            tol = n / 10000 + 1
+            assert lo - tol <= target <= hi + tol, (flag, p, est, lo, hi, target)
