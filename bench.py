@@ -64,6 +64,14 @@ HEADLINE = [
     "cdc_scd2_merge",           # change feed -> versioned dim, 1 shuffle
     "graph_pagerank_iterations",   # iterative integer PageRank (3 rounds)
     "layout_zorder_cluster",    # Morton clustering + range-partitioned write
+    "agg_filter_clause",        # N conditioned metrics in one grouped pass
+    "join_lateral_topk",        # LATERAL top-k via WindowGroupLimit
+    "sample_weighted_mixture",  # domain-weighted md5 mixture sampling
+    "doc_chunk_overlap",        # map-only overlapping chunk generation
+    "simsearch_pq_assign",      # product-quantization code assignment
+    "ts_ohlc_bars",             # OHLC downsample, min/max-of-struct agg
+    "udf_cogrouped_pandas",     # cogrouped-map pandas (two-sided Arrow)
+    "audit_fk_orphans",         # FK integrity audit, broadcast anti-joins
 ]
 
 

@@ -245,3 +245,25 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_or(l_tax > 0.07)").alias("any_hi_tax"),
         F.expr("every(l_extendedprice > 0)").alias("every_pos_price"),
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB): group on every non-aggregate
+    select item — the analyst shorthand both engines resolve to the same
+    explicit grouping; plans identically to agg_groupby_hash."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql("""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem_gba GROUP BY ALL
+""")

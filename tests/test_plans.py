@@ -350,3 +350,22 @@ def test_exists_projection_plans_existence_joins(q):
     plan = pi.formatted_plan(df)
     assert "ExistenceJoin" in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cogroup_copartitions_both_sides(q):
+    """Cogrouped-map must hash-partition BOTH inputs on user_id and run one
+    FlatMapCoGroupsInPandas — two exchanges (one per side), no join."""
+    df = q("udf_cogrouped_pandas")
+    plan = pi.formatted_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:800]
+    assert pi.shuffle_count(df) == 2, plan[:800]
+
+
+def test_fk_audit_broadcasts_parents(q):
+    """Every FK probe must broadcast the parent key set — the child tables
+    never shuffle for the anti-join."""
+    df = q("audit_fk_orphans")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.broadcast_join_count(df) >= 7, plan[:800]
+    assert pi.sortmerge_join_count(df) == 0
