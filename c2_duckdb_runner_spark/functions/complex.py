@@ -218,3 +218,53 @@ def fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
         ).alias("j"),
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey,
+         list_sort(list_distinct(COALESCE(list(l_linenumber)
+           FILTER (WHERE l_quantity > 25), []))) AS bulk_lines,
+         list_sort(list_distinct(COALESCE(list(l_linenumber)
+           FILTER (WHERE l_discount > 0.05), []))) AS disc_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(list_intersect(bulk_lines, disc_lines)) AS INTEGER) AS n_both,
+       COALESCE(array_to_string(list_sort(list_intersect(bulk_lines, disc_lines)),
+         ','), '') AS both_lines,
+       COALESCE(array_to_string(list_sort(list_filter(bulk_lines,
+           x -> NOT list_contains(disc_lines, x))), ','), '') AS bulk_only
+FROM g
+""",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra per group: distinct sorted line numbers matching
+    two predicates, then intersection and difference — all inside the
+    aggregate's projection (one shuffle on l_orderkey; the set ops are
+    per-row array lambdas). Inputs are made distinct+sorted first so both
+    engines' set functions agree element-for-element, and outputs are
+    re-sorted + joined to strings to pin representation."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("l_quantity") > 25, F.col("l_linenumber")))
+            )
+        ).alias("bulk_lines"),
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("l_discount") > 0.05, F.col("l_linenumber")))
+            )
+        ).alias("disc_lines"),
+    )
+    both = F.sort_array(F.array_intersect("bulk_lines", "disc_lines"))
+    only = F.sort_array(F.array_except("bulk_lines", "disc_lines"))
+    return g.select(
+        "l_orderkey",
+        F.size(both).alias("n_both"),
+        F.array_join(both, ",").alias("both_lines"),
+        F.array_join(only, ",").alias("bulk_only"),
+    )

@@ -169,3 +169,64 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_hour_total"),
     )
+
+
+@register(
+    "agg_skew_kurt_manual",
+    oracle=(
+        "WITH s AS ("
+        "  SELECT l_returnflag, COUNT(*) AS n, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1, "
+        "  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2, "
+        "  CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,4))) "
+        "       AS DOUBLE) AS s3, "
+        "  CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity "
+        "       AS DECIMAL(28,4))) AS DOUBLE) AS s4 "
+        "  FROM lineitem GROUP BY l_returnflag), "
+        "m AS (SELECT l_returnflag, n, s1 / n AS mu, "
+        "      s2 / n - (s1 / n) * (s1 / n) AS m2, "
+        "      s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3, "
+        "      s4 / n - 4 * (s1 / n) * s3 / n "
+        "        + 6 * (s1 / n) * (s1 / n) * s2 / n "
+        "        - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4 "
+        "      FROM s) "
+        "SELECT l_returnflag, n, ROUND(mu, 6) AS mean_qty, "
+        "ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness, "
+        "ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis "
+        "FROM m"
+    ),
+)
+def agg_skew_kurt_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from exact decimal power
+    sums (Σx..Σx⁴) — the same sufficient-statistics discipline as
+    agg_corr_manual: partials merge associatively at any scale, and the
+    float division/sqrt happens once on identical exact inputs in both
+    engines (native skewness()/kurtosis() over doubles is merge-order
+    dependent and engine-variant). The identical formula is spelled out
+    on both sides; derived floats rounded to 6."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(28,4)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(28,4)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * F.col("s3") / n
+        + 6 * mu * mu * F.col("s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )

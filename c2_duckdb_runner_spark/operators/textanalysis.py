@@ -246,3 +246,45 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf", "rn")
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pairs AS (
+  SELECT toks[CAST(i AS INTEGER)] AS a, toks[CAST(i AS INTEGER) + 1] AS b
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT 20
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration: count ADJACENT token pairs across the
+    corpus and rank the merge candidates — the inner loop of byte-pair
+    tokenizer training. Adjacent pairing is arrays_zip of the array with
+    its own 1-shifted slice (map-side, no self-join); the top-20 rides
+    TakeOrderedAndProject with a (count, pair) total order so ties are
+    deterministic. At 100 TB each iteration is one scan + one
+    (a, b)-keyed aggregate — the shape that makes distributed BPE
+    training feasible."""
+    d = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks) - 1)"),
+                F.expr("slice(toks, 2, size(toks) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(20)
+    )
