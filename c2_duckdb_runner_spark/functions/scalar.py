@@ -246,3 +246,63 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.sha2("c_name", 256).alias("name_sha256"),
     )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+SELECT p_partkey,
+       ROUND(sin(p_retailprice / 100.0), 6) AS sin_x,
+       ROUND(cos(p_retailprice / 100.0), 6) AS cos_x,
+       ROUND(atan2(CAST(p_size AS DOUBLE), p_retailprice / 100.0), 6) AS bearing,
+       ROUND(degrees(atan2(CAST(p_size AS DOUBLE), p_retailprice / 100.0)), 6)
+         AS bearing_deg,
+       ROUND(pi(), 6) AS pi_const
+FROM part
+""",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric scalar functions (sin/cos/atan2/degrees/pi) — pure
+    codegen projections; results rounded to 6 so cross-libm ulp noise
+    can't touch the hash."""
+    p = load(spark, sf_dir, "part")
+    x = F.col("p_retailprice") / 100.0
+    y = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(x), 6).alias("sin_x"),
+        F.round(F.cos(x), 6).alias("cos_x"),
+        F.round(F.atan2(y, x), 6).alias("bearing"),
+        F.round(F.degrees(F.atan2(y, x)), 6).alias("bearing_deg"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_const"),
+    )
+
+
+@register(
+    "fn_bit_ops",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey << 3 AS shl,
+       o_orderkey >> 2 AS shr,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 21845) AS toggled,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+""",
+)
+def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar operators (shifts, and/or/xor, popcount) on int64
+    keys — the building blocks of hash/bucket/bloom arithmetic, all
+    whole-stage-codegen projections."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.bit_count(k).alias("popcount"),
+    )

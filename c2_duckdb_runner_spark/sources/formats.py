@@ -149,3 +149,62 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     supplier.write.mode("overwrite").orc(path)
     return spark.read.schema(supplier.schema).orc(path)
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+SELECT source,
+       md5(string_agg(text, chr(10) ORDER BY doc_id) || chr(10)) AS content_md5,
+       CAST(SUM(len(text) + 1) AS BIGINT) AS n_bytes
+FROM documents GROUP BY source
+""",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary source (spark.read.format('binaryFile') — the
+    multimodal ingestion path): write documents as a text sink laid out
+    one file per source (repartition on the partition column pins one
+    task per source; sortWithinPartitions pins byte order), then read the
+    files back as raw binary and fingerprint content+length per file.
+    The oracle recomputes the EXACT file bytes from the table
+    (newline-joined rows + trailing newline) — a byte-level sink/source
+    parity check, the strongest contract a text sink can state. The
+    binary path/content schema is exactly what image/audio payload
+    ingestion uses at scale."""
+    path = _out(sf_dir, "docs_text_by_source")
+    d = load(spark, sf_dir, "documents")
+    (
+        d.select("doc_id", "text", "source")
+        .repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        # text sink accepts exactly one value column (+ partition cols);
+        # the projection preserves the sorted order
+        .select("text", "source")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .text(path)
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", False)
+        .load(path + "/*")
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"source=([^/]+)/", 1).alias("source"),
+        F.md5("content").alias("content_md5"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
+@register("sink_parquet_zstd", oracle="SELECT * FROM part")
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with an explicit columnar codec (zstd — the modern
+    default for cold data: ~30% smaller than snappy at similar scan
+    speed) and dictionary encoding left on; round-trip must equal the
+    original table. Codec choice is a per-write option, not a session
+    mutation, so mixed-codec lakes read transparently."""
+    path = _out(sf_dir, "part_zstd")
+    part = load(spark, sf_dir, "part")
+    part.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return spark.read.parquet(path)
