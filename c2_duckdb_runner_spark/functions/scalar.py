@@ -306,3 +306,40 @@ def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(21845)).alias("toggled"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "fn_collation_lcase",
+    oracle="""
+WITH m AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS s,
+         n_chars
+  FROM documents
+)
+SELECT lower(s) AS src_ci, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM m GROUP BY lower(s)
+""",
+)
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 collations: the source column
+    is deliberately case-mangled, then grouped under UTF8_LCASE — the
+    collation-aware hash groups 'SRC1' with 'src1' without rewriting the
+    data (the oracle spells the same semantics as lower()). The emitted
+    key is pinned to min(lower(s)) because a collation group's
+    representative value is otherwise an arbitrary case variant."""
+    d = load(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("s"),
+        "n_chars",
+    )
+    return (
+        d.groupBy(F.expr("collate(s, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.min(F.lower(F.col("s"))).alias("src_ci"),
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select("src_ci", "n", "total_chars")
+    )

@@ -133,3 +133,49 @@ def udtf_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.token "
         "FROM c2s_docs_udtf d, LATERAL c2s_split_tokens(d.text) s"
     )
+
+
+@register(
+    "udf_grouped_arrow",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE grouped map (Spark 4 applyInArrow): each group arrives
+    as a pyarrow.Table and is reduced with pyarrow.compute kernels — no
+    pandas materialization at all, the cheapest Python boundary Spark
+    offers (columnar in, columnar out, zero row objects). Integer-exact
+    aggregates keep it oracle-checkable."""
+    import pyarrow as pa
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        qty = pc.cast(table.column("l_quantity"), pa.int64())
+        keys = table.column("l_orderkey")
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "n": [table.num_rows],
+                "sum_qty": [pc.sum(qty).as_py()],
+                "min_key": [pc.min(keys).as_py()],
+                "max_key": [pc.max(keys).as_py()],
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .applyInArrow(
+            stats,
+            schema=(
+                "l_returnflag string, l_linestatus string, n bigint, "
+                "sum_qty bigint, min_key bigint, max_key bigint"
+            ),
+        )
+    )

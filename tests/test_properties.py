@@ -98,3 +98,60 @@ def test_print_sample_sink(spark):
     runner.print_sample(load(spark, SF, "region"), n=5, out=buf)
     text = buf.getvalue()
     assert "r_name" in text and len(text.splitlines()) >= 5
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Chunking invariants: chunk starts step by the stride, every token
+    index lands in at least one chunk, interior chunks are full-size, and
+    per-doc chunk counts equal ceil(n / stride)."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from c2_duckdb_runner_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = (
+        entrymod.queries()["doc_chunk_overlap"](spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("tok_in_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        )
+        .collect()
+    )
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        n = n_tokens[r["doc_id"]]
+        expect = math.ceil(n / 24)
+        assert r["n_chunks"] == expect, (r, n)
+        assert r["max_idx"] == expect - 1
+        # coverage: sum of chunk sizes >= n (overlap makes it strictly >
+        # whenever there is more than one chunk)
+        assert r["tok_in_chunks"] >= n
+        if r["n_chunks"] > 1:
+            assert r["tok_in_chunks"] > n
+
+
+def test_weighted_mixture_rates_bracket_thresholds(spark, sf_dir):
+    """Per-source sample rates must track the configured hex thresholds
+    (md5 is uniform): rate ≈ thr/256 within a loose binomial bound, and
+    sampled counts never exceed totals."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sample_weighted_mixture"](spark, sf_dir).collect()
+    thr = {0: 0x20, 1: 0x40, 2: 0x80, 3: 0xC0}
+    for r in rows:
+        bucket = int(r["source"][3:]) % 4
+        p = thr[bucket] / 256.0
+        assert 0 <= r["n_sampled"] <= r["n_rows"]
+        # 4-sigma binomial envelope
+        import math
+
+        sigma = math.sqrt(r["n_rows"] * p * (1 - p))
+        assert abs(r["n_sampled"] - p * r["n_rows"]) <= 4 * sigma + 1, (r, p)
