@@ -343,3 +343,81 @@ def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src_ci", "n", "total_chars")
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+SELECT doc_id,
+       lower(source) || '.example.org' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       lang AS qlang,
+       CAST(n_chars AS VARCHAR) AS qn
+FROM documents
+""",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with the JVM-side ``parse_url`` expression: a
+    deterministic URL is synthesized per document, then HOST / PATH /
+    per-key QUERY components are parsed back out. The oracle spells the
+    expected components by construction, so this differentially proves
+    Spark's parser re-derives exactly the inputs (no UDF, codegen-friendly;
+    the delegated-SQL slot at reference main.cc:164-169 admits the same
+    string surface)."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("u"))
+    return u.select(
+        "doc_id",
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("n")).alias("qn"),
+    )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_linenumber = 3 THEN NULL
+                  ELSE l_orderkey / (l_linenumber - 3) END, 6) AS safe_div,
+       TRY_CAST(CASE WHEN l_orderkey % 3 = 0 THEN CAST(l_orderkey AS VARCHAR)
+                     ELSE 'x' || CAST(l_orderkey AS VARCHAR) END AS BIGINT)
+         AS parsed,
+       CAST(NULL AS BIGINT) AS overflowed
+FROM lineitem
+""",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` arithmetic (Spark 4 runs ANSI mode by default, so
+    bare division-by-zero / overflow / bad casts now RAISE like DuckDB —
+    SURVEY.md §2 fn_cast's semantic gap closed): try_divide yields NULL at
+    the l_linenumber=3 pole, try_cast NULLs the non-numeric strings, and
+    try_add overflows BIGINT max to NULL (l_orderkey+1 is ≥1 for every
+    row, so the overflow is total; the oracle states that constant-NULL
+    consequence directly)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = F.when(
+        F.col("l_orderkey") % 3 == 0, F.col("l_orderkey").cast("string")
+    ).otherwise(F.concat(F.lit("x"), F.col("l_orderkey").cast("string")))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_orderkey"), F.col("l_linenumber") - F.lit(3)), 6
+        ).alias("safe_div"),
+        s.try_cast("bigint").alias("parsed"),
+        F.try_add(F.col("l_orderkey") + F.lit(1), F.lit(9223372036854775807)).alias(
+            "overflowed"
+        ),
+    )

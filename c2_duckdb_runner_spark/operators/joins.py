@@ -250,3 +250,41 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = load(spark, sf_dir, "region").select(F.col("r_name").alias("a"))
     r2 = load(spark, sf_dir, "region").select(F.col("r_name").alias("b"))
     return r1.crossJoin(r2)
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH c AS (
+  SELECT nullif(c_nationkey % 5, 3) AS k, c_custkey FROM customer
+), s AS (
+  SELECT nullif(s_nationkey % 5, 3) AS k, s_suppkey FROM supplier
+)
+SELECT c.k AS k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c.c_custkey) AS BIGINT) AS cust_sum
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+GROUP BY c.k
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing, the semantics every late-arriving-
+    dimension pipeline needs for 'unknown' buckets. EqualNullSafe is still a
+    hashable equi-condition, so Catalyst keeps the hash-join strategies —
+    no fallback to nested-loop (unlike a.k = b.k OR (a.k IS NULL AND b.k IS
+    NULL) before optimization). Reference reaches it through the delegated
+    predicate slot (main.cc:164-169)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("ck"), "c_custkey"
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(3)).alias("sk"), "s_suppkey"
+    )
+    return (
+        c.join(s, c["ck"].eqNullSafe(s["sk"]), "inner")
+        .groupBy(F.col("ck").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("cust_sum"),
+        )
+    )

@@ -208,3 +208,36 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     part.write.mode("overwrite").option("compression", "zstd").parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "scan_text_roundtrip",
+    oracle="SELECT doc_id, source, lang, n_chars FROM documents",
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink+source: one delimited record per line (the
+    text datasource is schema-free — exactly one string ``value`` column),
+    then re-parse the lines back into typed columns. The delimiter-join uses
+    only newline-free columns, so lines↔rows is exact; the oracle is the
+    original typed projection. This is the lowest-common-denominator
+    interchange format (log shipping, queue bodies) and the same per-file
+    task fan-out as the reference's directory scan (main.cc:297-324)."""
+    path = _out(sf_dir, "documents_text")
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            "source",
+            "lang",
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    parts = F.split(F.col("value"), r"\|")
+    return spark.read.text(path).select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("source"),
+        parts.getItem(2).alias("lang"),
+        parts.getItem(3).cast("bigint").alias("n_chars"),
+    )
