@@ -421,3 +421,40 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflowed"
         ),
     )
+
+
+@register(
+    "fn_timezone_convert",
+    oracle="""
+SELECT o_orderkey,
+       strftime(timezone('America/New_York', o_orderdate),
+                '%Y-%m-%d %H:%M:%S') AS utc_from_ny,
+       strftime(timezone('Asia/Kolkata', o_orderdate),
+                '%Y-%m-%d %H:%M:%S') AS utc_from_kolkata
+FROM orders
+""",
+)
+def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DST-aware timezone conversion: each order's wall-clock timestamp is
+    re-interpreted as New York local (DST shifts the offset 4↔5 h across
+    the fixture's date span) and as Kolkata local (fixed +5:30, exercising
+    non-whole-hour offsets), then expressed in UTC. Spark's
+    convert_timezone on TIMESTAMP_NTZ is the instant-preserving path;
+    DuckDB's timezone() is the same operation, with the session pinned to
+    UTC so formatting agrees. Output is a formatted string — timestamp
+    wire types (NTZ vs instant) differ across engines, wall-clock text
+    does not."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp_ntz").alias("ts")
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.convert_timezone(F.lit("America/New_York"), F.lit("UTC"), F.col("ts")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("utc_from_ny"),
+        F.date_format(
+            F.convert_timezone(F.lit("Asia/Kolkata"), F.lit("UTC"), F.col("ts")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("utc_from_kolkata"),
+    )

@@ -264,3 +264,37 @@ def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 6).alias("var_qty"),
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+SELECT l_returnflag,
+       CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25,
+       CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS q50,
+       CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS q75
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) percentiles — percentile_disc WITHIN GROUP returns
+    an actual member of the group (smallest value whose cume_dist ≥ p),
+    never an interpolation, so the result is exact and hash-stable even on
+    doubles (no midpoint arithmetic). This is the ordered-statistic the
+    exact `agg_percentiles` (continuous) deliberately does NOT give; both
+    buffer per-group values, the documented exact-percentile cost."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("q25"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("q50"),
+            F.expr(
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("q75"),
+        )
+    )

@@ -186,3 +186,39 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "window_count_distinct_running",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(count(DISTINCT l_suppkey) OVER (
+         PARTITION BY l_orderkey
+         ORDER BY l_linenumber, l_partkey, l_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS nd_supp
+FROM lineitem
+""",
+)
+def window_count_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per order: Spark windows reject DISTINCT
+    aggregates outright, so the idiomatic rewrite is size(collect_set())
+    over the same growing frame — set semantics give distinctness, size
+    gives the count. Frame is rows-based with a TOTAL order — the fixture
+    duplicates l_linenumber within an order, so the sort key is widened to
+    (l_linenumber, l_partkey, l_suppkey), unique per order, making both
+    engines see identical row prefixes. Per-group
+    state is the distinct-set, bounded by the 7-line order cap — at 100 TB
+    the partition key (l_orderkey) distributes and no group is skewed."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("nd_supp"),
+    )
