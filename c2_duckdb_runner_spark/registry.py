@@ -93,6 +93,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.sketches_timeseries  # noqa: F401
     import c2_duckdb_runner_spark.operators.pandas_api  # noqa: F401
     import c2_duckdb_runner_spark.sources.formats  # noqa: F401
+    import c2_duckdb_runner_spark.sources.python_datasource  # noqa: F401
     import c2_duckdb_runner_spark.streaming.queries  # noqa: F401
 
 

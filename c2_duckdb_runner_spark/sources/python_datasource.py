@@ -1,0 +1,164 @@
+"""Custom source via the Spark 4 Python DataSource API.
+
+This is the reference's OWN pipeline re-expressed as a first-class Spark
+source instead of a driver loop: enumerate the regular files of a data
+directory (``main.cc:297-324``), make each independently-scannable unit one
+input partition (``main.cc:252-261`` — one task per file; here one per
+parquet ROW GROUP so a single big file still parallelizes, which is exactly
+Spark's own split mapping), decode columnar batches inside the partition
+reader (``main.cc:183-199``'s DataChunk pull loop, as pyarrow RecordBatches),
+and apply the ``col > τ`` predicate AT THE SOURCE (``main.cc:164-169``'s
+``ke > <Env_ke>`` splice) so rows are dropped before they ever reach the JVM.
+
+Scale notes:
+- Partition planning happens on the driver (cheap metadata read of the
+  parquet footer per file); reads happen executor-side, one Python worker
+  per partition, Arrow-batch interchange — the same batch-columnar boundary
+  as mapInArrow.
+- The built-in parquet reader remains the production path (codegen, page
+  index, vectorized decode); this source is the extension-point proof: any
+  format/API Python can read (object stores, scientific formats, the VPIC
+  particle files the reference's campaign actually scanned) becomes a
+  DataFrame with partition-parallel reads.
+- The source-side filter is real pushdown for the Python path: the Arrow
+  predicate runs per row group before serialization to Spark. The query
+  ALSO re-applies the filter in Spark, so correctness never depends on the
+  source honoring the option.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from c2_duckdb_runner_spark.registry import register
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, path: str, row_group: int):
+        self.path = path
+        self.row_group = row_group
+
+
+class ParquetDirDataSource(DataSource):
+    """``spark.read.format("c2_pydir")`` over a directory of parquet files.
+
+    Options:
+      path       directory to enumerate (required)
+      tables     csv of file stems to include (default: every ``*.parquet``)
+      columns    csv of columns to project (required — the Python DS API
+                 does not receive Spark's column pruning, so the contract
+                 makes projection explicit)
+      min_chars  optional source-side predicate ``n_chars > τ`` (the
+                 reference's Env_ke analogue)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "c2_pydir"
+
+    def schema(self) -> str:
+        import os
+
+        import pyarrow.parquet as pq
+
+        cols = self.options["columns"].split(",")
+        path = self.options["path"]
+        stems = self.options.get("tables")
+        names = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+            and (stems is None or f[: -len(".parquet")] in stems.split(","))
+        )
+        # Arrow schema of the first file, pruned to the projection, mapped to
+        # Spark DDL via a tiny fixed type table (fixtures use these 4 types).
+        sch = pq.read_schema(os.path.join(path, names[0]))
+        ddl = {"int64": "bigint", "int32": "int", "double": "double",
+               "string": "string", "large_string": "string"}
+        parts = []
+        for c in cols:
+            t = sch.field(c).type
+            parts.append(f"{c} {ddl[str(t)]}")
+        return ", ".join(parts)
+
+    def reader(self, schema) -> "ParquetDirReader":
+        return ParquetDirReader(dict(self.options))
+
+
+class ParquetDirReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+
+    def partitions(self):
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = self.options["path"]
+        stems = self.options.get("tables")
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            if stems is not None and f[: -len(".parquet")] not in stems.split(","):
+                continue
+            full = os.path.join(path, f)
+            for rg in range(pq.ParquetFile(full).metadata.num_row_groups):
+                out.append(_RowGroupPartition(full, rg))
+        return out
+
+    def read(self, partition: _RowGroupPartition):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        cols = self.options["columns"].split(",")
+        table = pq.ParquetFile(partition.path).read_row_group(
+            partition.row_group, columns=cols
+        )
+        thr = self.options.get("min_chars")
+        if thr is not None:
+            table = table.filter(pc.greater(table.column("n_chars"), int(thr)))
+        yield from table.to_batches()
+
+
+def _ensure_registered(spark: SparkSession) -> None:
+    # Registration is session-scoped and idempotent-by-overwrite.
+    spark.dataSource.register(ParquetDirDataSource)
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents WHERE n_chars > 600
+GROUP BY lang
+""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents read through the custom Python DataSource (per-row-group
+    partitions, Arrow batches, source-side ``n_chars > 600`` pushdown), then
+    aggregated with ordinary JVM-side operators — proving a Python-defined
+    source composes with the whole relational surface. The filter is applied
+    both at the source (performance) and in Spark (semantics)."""
+    _ensure_registered(spark)
+    df = (
+        spark.read.format("c2_pydir")
+        .option("path", sf_dir)
+        .option("tables", "documents")
+        .option("columns", "doc_id,lang,n_chars")
+        .option("min_chars", "600")
+        .load()
+    )
+    return (
+        df.filter(F.col("n_chars") > 600)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
