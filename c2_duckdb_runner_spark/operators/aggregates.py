@@ -298,3 +298,67 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q75"),
         )
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+SELECT o_custkey,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                           + o_orderkey) AS biggest_order,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                           + o_orderkey) AS smallest_order,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders GROUP BY o_custkey
+""",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extremes (max_by/min_by ≙ DuckDB arg_max/arg_min) — 'which
+    order was the biggest' without a join-back or a window. Ties are the
+    trap: both engines pick an ARBITRARY row on equal keys, so the ordering
+    key is made total by folding the unique o_orderkey into its low digits
+    (prices have 2 decimals → ×100 is integral; ×1e7 leaves orderkey room).
+    One hash aggregate, partial+final, no second pass — the cheapest
+    formulation of a per-group argmax at any scale."""
+    o = load(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_price"),
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via Spark 4 bitmap aggregates — the scalable
+    alternative to COUNT(DISTINCT): keys hash into 32k-bit bucket bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), each (group, bucket)
+    partial-aggregates to one bitmap JVM-side, and popcounts sum per group.
+    Unlike expand-based COUNT(DISTINCT) this never shuffles raw keys — the
+    shuffle payload is ceil(keyspace/32768) bitmaps per group — and unlike
+    HLL (`agg_approx_distinct`) it is exact, so the COUNT(DISTINCT) oracle
+    hash-matches."""
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_suppkey)").alias("bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_suppkey)))"
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("bigint").alias("nd_supp")
+    )

@@ -113,3 +113,33 @@ def fn_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SQL:2023-adjacent `|>` operators): the
+    same filtered aggregation written as a linear dataflow — FROM |> WHERE
+    |> AGGREGATE. Pipe stages parse to exactly the Catalyst plan the nested
+    form produces (verify with .explain — same Aggregate over Filter over
+    Scan, same pushdown), so this is pure surface syntax with zero plan
+    cost; the oracle is the classic spelling."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS BIGINT)) AS qty
+             GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, qty
+        """
+    )

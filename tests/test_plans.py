@@ -369,3 +369,48 @@ def test_fk_audit_broadcasts_parents(q):
     assert "CartesianProduct" not in plan
     assert pi.broadcast_join_count(df) >= 7, plan[:800]
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_null_safe_join_stays_hash_joinable(q):
+    """EqualNullSafe is an equi-condition: the plan must use a hash-family
+    join, never BroadcastNestedLoopJoin."""
+    df = q("join_null_safe_eq")
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_distinct_avoids_expand(q):
+    """The bitmap rewrite must not fall back to COUNT(DISTINCT)'s Expand:
+    distinctness lives inside bitmap partial aggregates, so the plan is two
+    plain hash aggregations with no Expand node."""
+    df = q("agg_bitmap_distinct")
+    plan = pi.formatted_plan(df)
+    assert "Expand" not in plan, plan[:800]
+    assert "bitmap_construct_agg" in plan
+
+
+def test_pipe_syntax_plans_like_classic_sql(q, spark, sf_dir):
+    """`|>` stages are pure syntax: the pipe query's optimized plan must be
+    the same Aggregate-over-Filter shape with the shipdate filter pushed to
+    the parquet scan."""
+    df = q("sql_pipe_syntax")
+    fs = pi.pushed_filters(df)
+    assert any("l_shipdate" in f for f in fs), fs
+
+
+def test_python_datasource_partitions_per_row_group(q, spark, sf_dir):
+    """The custom Python source must fan out one input partition per parquet
+    row group (the reference's one-task-per-file at main.cc:252-261)."""
+    import pyarrow.parquet as pq
+
+    from c2_duckdb_runner_spark.sources.python_datasource import (
+        ParquetDirReader,
+    )
+
+    reader = ParquetDirReader(
+        {"path": sf_dir, "tables": "documents", "columns": "doc_id,n_chars"}
+    )
+    parts = reader.partitions()
+    expect = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_row_groups
+    assert len(parts) == expect
