@@ -30,7 +30,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from c2_duckdb_runner_spark.registry import register
 
@@ -162,3 +167,127 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming: deterministic replay source (Python DataSource stream API)
+# ---------------------------------------------------------------------------
+class EventsReplayDataSource(DataSource):
+    """``spark.readStream.format("c2_replay")`` — replays a parquet file as
+    a micro-batch stream of row-ranged offsets ({"row": n} checkpoints, so a
+    restarted query resumes mid-file exactly like the file source resumes
+    mid-directory). The at-scale analogue is a queue/CDC tail where the
+    offset is a log position; the reference's closest shape is its
+    per-file task feed (main.cc:252-261) made continuous."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "c2_replay"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def simpleStreamReader(self, schema):
+        return EventsReplayStreamReader(dict(self.options))
+
+
+class EventsReplayStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batch_rows", 250))
+        self._table = None
+
+    def _load(self):
+        if self._table is None:
+            import pyarrow.parquet as pq
+
+            self._table = pq.read_table(
+                self.path,
+                columns=["event_id", "user_id", "event_type", "value"],
+            )
+        return self._table
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def _rows(self, i: int, j: int):
+        t = self._load()
+        return iter(
+            [tuple(r.values()) for r in t.slice(i, j - i).to_pylist()]
+        )
+
+    def read(self, start):
+        t = self._load()
+        i = start["row"]
+        j = min(i + self.batch_rows, t.num_rows)
+        return self._rows(i, j), {"row": j}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["row"], end["row"])
+
+
+@register(
+    "stream_python_source",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation over the custom Python replay source: events
+    arrive in row-offset micro-batches, a complete-mode groupBy folds them
+    into state, and the query is stopped once the source offset reaches
+    end-of-file. The FINAL complete-mode table is batch-equivalent no
+    matter how the rows were batched (decimal state merge is associative),
+    which is what makes a custom streaming source oracle-checkable at all."""
+    import ast
+    import time
+
+    spark.dataSource.register(EventsReplayDataSource)
+    path = f"{sf_dir}/events.parquet"
+    total = spark.read.parquet(path).count()
+    src = (
+        spark.readStream.format("c2_replay")
+        .option("path", path)
+        .option("batch_rows", str(max(200, total // 4)))
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    name = "c2s_replay_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = p["sources"][0]["endOffset"]
+                # offsets surface as the reader dict's repr (single-quoted)
+                row = (ast.literal_eval(end) if isinstance(end, str) else end)[
+                    "row"
+                ]
+                if row >= total:
+                    break
+            time.sleep(0.2)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    spark.catalog.dropTempView(name)
+    return out

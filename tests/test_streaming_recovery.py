@@ -73,3 +73,42 @@ def test_stream_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
         assert got2 == _counts(ev)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_rocksdb_state_store_matches_batch(spark, sf_dir, tmp_path):
+    """The RocksDB state-store provider is the at-scale backend (state no
+    longer bounded by executor heap; changelog checkpointing). The same
+    windowed aggregation must produce identical results under it."""
+    from c2_duckdb_runner_spark.streaming.queries import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        from pyspark.sql import functions as F
+
+        stream = _events_stream(spark, sf_dir)
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        got = {
+            r["event_type"]: r["n"]
+            for r in _run_to_memory(spark, agg, "complete").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
