@@ -458,3 +458,30 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("utc_from_kolkata"),
     )
+
+
+@register(
+    "fn_printf_format",
+    oracle="""
+SELECT c_custkey,
+       printf('%s#%08d', c_mktsegment, c_custkey) AS tag,
+       printf('%.2f', c_acctbal) AS bal_txt,
+       printf('%x', c_custkey) AS key_hex
+FROM customer
+""",
+)
+def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (Spark format_string ≙ DuckDB printf): both
+    engines delegate to C-style format specs, so width/zero-pad/precision/
+    hex render identically. %.2f on an exact 2-decimal monetary double is
+    deterministic (no rounding ambiguity at binary midpoints because the
+    fixture generates 2-decimal values)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string("%s#%08d", F.col("c_mktsegment"), F.col("c_custkey")).alias(
+            "tag"
+        ),
+        F.format_string("%.2f", F.col("c_acctbal")).alias("bal_txt"),
+        F.format_string("%x", F.col("c_custkey")).alias("key_hex"),
+    )

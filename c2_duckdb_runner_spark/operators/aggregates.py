@@ -362,3 +362,28 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum("cnt").cast("bigint").alias("nd_supp")
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — the only way to tell a subtotal row
+    (key nulled by the rollup) from a genuine NULL key value. Without the
+    marker, rollup outputs are ambiguous the moment a grouping column is
+    nullable; with it, every row self-describes its aggregation level.
+    Spark's grouping() mirrors the SQL-standard function DuckDB implements;
+    the Expand-based plan computes all levels in one pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+    )

@@ -288,3 +288,64 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("bigint").alias("cust_sum"),
         )
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+WITH dim AS (
+  SELECT * FROM (VALUES
+    ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+    ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')
+  ) AS t(prio, tier)
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders o JOIN dim d ON o.o_orderpriority = d.prio
+WHERE d.tier = 'hot'
+GROUP BY o.o_orderpriority
+""",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE 100 TB join feature: the fact table
+    is laid out hive-partitioned on the join key, the dim filter ('hot'
+    tier) is only known at runtime, and Catalyst injects a dynamicpruning
+    subquery into the fact scan so only the matching partition DIRECTORIES
+    are listed and read (check PartitionFilters: dynamicpruning#N in the
+    plan — pinned by tests/test_plans.py). Static pruning can't do this:
+    the pruning values come from the dim side, not a literal."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/c2spark_io/{tag}/orders_by_priority"
+    orders = load(spark, sf_dir, "orders")
+    # layout write is idempotent per sf; reuse once written (bench reruns)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            path
+        )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        "prio string, tier string",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim),
+            (fact.o_orderpriority == dim.prio) & (dim.tier == "hot"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -241,3 +241,33 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(2).alias("lang"),
         parts.getItem(3).cast("bigint").alias("n_chars"),
     )
+
+
+@register("scan_recursive_glob", oracle="SELECT * FROM supplier")
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-layout source options: the table is scattered across a
+    two-level directory tree (the shape a date/hour-partitioned lake drops
+    without hive naming), then read back with ``recursiveFileLookup`` +
+    ``pathGlobFilter`` — enumeration descends every level but only admits
+    ``*.parquet`` leaves (a sidecar .txt proves the filter). The reference's
+    enumerator (main.cc:297-320) is single-level by design; this is the
+    multi-level lake equivalent."""
+    import os
+
+    base = _out(sf_dir, "supplier_nested")
+    sup = load(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "a", "deep", "_SUCCESS")):
+        sup.filter(F.col("s_suppkey") % 2 == 0).write.mode("overwrite").parquet(
+            f"{base}/a/deep"
+        )
+        sup.filter(F.col("s_suppkey") % 2 == 1).write.mode("overwrite").parquet(
+            f"{base}/b"
+        )
+        with open(f"{base}/a/ignore_me.txt", "w") as fh:
+            fh.write("not data")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .schema(sup.schema)
+        .parquet(base)
+    )

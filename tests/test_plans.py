@@ -414,3 +414,12 @@ def test_python_datasource_partitions_per_row_group(q, spark, sf_dir):
     parts = reader.partitions()
     expect = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_row_groups
     assert len(parts) == expect
+
+
+def test_dynamic_partition_pruning_fires(q):
+    """The partitioned fact scan must carry a dynamicpruning expression in
+    its PartitionFilters — runtime directory pruning from the dim filter,
+    not a full scan followed by a join."""
+    df = q("join_dynamic_partition_pruning")
+    plan = pi.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:1200]
