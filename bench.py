@@ -72,6 +72,9 @@ HEADLINE = [
     "ts_ohlc_bars",             # OHLC downsample, min/max-of-struct agg
     "udf_cogrouped_pandas",     # cogrouped-map pandas (two-sided Arrow)
     "audit_fk_orphans",         # FK integrity audit, broadcast anti-joins
+    "agg_bitmap_distinct",      # exact distinct via bitmap partial aggs
+    "join_dynamic_partition_pruning",  # runtime directory pruning (layout write + DPP probe)
+    "source_python_datasource",  # Python DataSource: Arrow-batch source path
 ]
 
 
