@@ -427,3 +427,143 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_id").alias("centroid_id"),
         F.round(F.col("d2").cast("double"), 6).alias("dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic three-way split + winsorized length stats + exact Gram
+# ---------------------------------------------------------------------------
+@register(
+    "split_train_val_test",
+    oracle="""
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < 'cc' THEN 'train'
+              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split, lang
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment: md5 of a salted
+    doc key, first hex byte thresholded at 0xcc (204/256) and 0xe6
+    (230/256). The split is a pure row expression — stable across runs,
+    partitionings, engines, and RE-RUNS AS THE CORPUS GROWS (a given doc
+    never migrates between splits when new docs arrive, which rand(seed)
+    cannot promise), evaluates in the scan stage, and shuffles nothing
+    but the final per-split counts."""
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_winsorize_lengths",
+    oracle="""
+WITH b AS (
+  SELECT quantile_disc(n_chars, 0.05) AS lo, quantile_disc(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(least(greatest(n_chars, lo), hi)) AS BIGINT) AS wsum,
+       CAST(MIN(lo) AS BIGINT) AS lo, CAST(MAX(hi) AS BIGINT) AS hi
+FROM documents, b
+GROUP BY lang
+""",
+)
+def text_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized length statistics — outlier-robust corpus profiling: the
+    global p5/p95 of n_chars (exact discrete quantiles, so both engines
+    agree to the integer) clamp every document's length before summing.
+    Two-pass shape: pass 1 reduces to ONE scalar row (percentile_disc),
+    which then rides into pass 2 as a broadcast nested-loop of a 1-row
+    side — the scalar-subquery pattern; the fact table itself shuffles
+    only for the final per-lang aggregate."""
+    d = load(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").alias(
+            "lo"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").alias(
+            "hi"
+        ),
+    )
+    clamped = d.crossJoin(F.broadcast(bounds)).select(
+        "lang",
+        F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+        "lo",
+        "hi",
+    )
+    return clamped.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("w").cast("bigint").alias("wsum"),
+        F.min("lo").cast("bigint").alias("lo"),
+        F.max("hi").cast("bigint").alias("hi"),
+    )
+
+
+@register(
+    "embed_gram_matrix",
+    oracle="""
+SELECT i, j,
+       ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                           * CAST(e.embedding[j] AS DOUBLE)
+                           AS DECIMAL(30,12))) AS DOUBLE), 6) AS g,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings e
+CROSS JOIN UNNEST(range(1, len(e.embedding) + 1)) AS a(i)
+CROSS JOIN UNNEST(range(1, len(e.embedding) + 1)) AS b(j)
+WHERE j >= i
+GROUP BY i, j
+""",
+)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix of the embedding corpus (Σ xᵢxⱼ over all vectors,
+    upper triangle of a 64×64) — the reduction under distributed PCA /
+    whitening / covariance shift-detection. This formulation explodes
+    (i, j) pairs and decimal-sums products so the result is bit-exact and
+    oracle-checkable: one shuffle of |V|·d(d+1)/2 skinny rows. The
+    PRODUCTION path is the per-partition numpy outer-product partial
+    (mapInPandas einsum, d² floats per partition, then one tiny reduce) —
+    tests/test_properties.py pins that both paths agree to 1e-6; decimal
+    explode is the semantics anchor, einsum is the speed path."""
+    e = load(spark, sf_dir, "embeddings")
+    # explode twice joined on vec_id would double-shuffle; instead explode
+    # ONCE into (vec, i, x) and self-pair within the row via a second
+    # posexplode over the same array — one pass, no join
+    pairs = e.select(
+        F.col("vec_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "xi"),
+        F.col("embedding").cast("array<double>").alias("arr"),
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode("arr").alias("j0", "xj"),
+        F.col("xi"),
+    ).filter(F.col("j0") + 1 >= F.col("i")).select(
+        "i",
+        (F.col("j0") + 1).alias("j"),
+        (F.col("xi") * F.col("xj")).cast("decimal(30,12)").alias("p"),
+    )
+    return pairs.groupBy("i", "j").agg(
+        F.round(F.sum("p").cast("double"), 6).alias("g"),
+        F.count("*").alias("n"),
+    )

@@ -155,3 +155,48 @@ def test_weighted_mixture_rates_bracket_thresholds(spark, sf_dir):
 
         sigma = math.sqrt(r["n_rows"] * p * (1 - p))
         assert abs(r["n_sampled"] - p * r["n_rows"]) <= 4 * sigma + 1, (r, p)
+
+
+def test_gram_einsum_path_matches_exact(spark, sf_dir):
+    """The production Gram path (per-partition numpy outer products via
+    mapInPandas, one d×d partial per batch, reduced by a tiny groupBy) must
+    agree with the exact decimal-explode formulation to 1e-6."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from c2_duckdb_runner_spark.tables import load
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r["i"], r["j"]): r["g"]
+        for r in entrymod.queries()["embed_gram_matrix"](spark, sf_dir).collect()
+    }
+    d = 64
+
+    def partial_gram(batches):
+        acc = np.zeros((d, d))
+        for pdf in batches:
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acc += np.einsum("ni,nj->ij", m, m)
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {"i": iu[0] + 1, "j": iu[1] + 1, "g": acc[iu]}
+        )
+
+    partials = (
+        load(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(partial_gram, schema="i int, j int, g double")
+    )
+    fast = {
+        (r["i"], r["j"]): r["g"]
+        for r in partials.groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    }
+    assert set(fast) == set(exact)
+    for k, v in exact.items():
+        assert abs(fast[k] - v) <= 1e-6 * max(1.0, abs(v)), (k, fast[k], v)
