@@ -268,3 +268,74 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(both, ",").alias("both_lines"),
         F.array_join(only, ",").alias("bulk_only"),
     )
+
+
+@register(
+    "fn_xml_parse",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey AS xa_key,
+       o_orderstatus AS xs_status,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS xi_cents
+FROM orders
+""",
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML (Spark 4): a deterministic XML document is synthesized per
+    order, then decomposed two ways — from_xml into a typed struct, and
+    xpath_* scalar probes — proving both parsers re-derive the inputs (the
+    same oracle-by-construction pattern as fn_url_parse; DuckDB has no XML
+    type, so the oracle states the expected components directly). All
+    JVM-side; no UDF."""
+    o = load(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><c>"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit("</c></o>"),
+    )
+    d = o.select("o_orderkey", xml.alias("x"))
+    parsed = d.select(
+        "o_orderkey",
+        F.from_xml("x", "k BIGINT, s STRING, c BIGINT").alias("v"),
+        F.expr("xpath_long(x, '/o/c')").alias("xp_cents"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("v.k").alias("xa_key"),
+        F.col("v.s").alias("xs_status"),
+        F.col("xp_cents").alias("xi_cents"),
+    )
+
+
+@register(
+    "fn_str_to_map",
+    oracle="""
+SELECT event_id,
+       'u' || CAST(user_id AS VARCHAR) AS uid,
+       event_type AS etype
+FROM events
+""",
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map over a synthesized k:v settings string (the log-line /
+    properties-bag decoder): build 'uid:<u>,etype:<t>' per event, parse to
+    MAP<STRING,STRING>, probe keys back out. Oracle-by-construction; map
+    equality itself is never hashed (map key order is engine-dependent) —
+    probed VALUES are."""
+    ev = load(spark, sf_dir, "events")
+    s = F.concat(
+        F.lit("uid:u"),
+        F.col("user_id").cast("string"),
+        F.lit(",etype:"),
+        F.col("event_type"),
+    )
+    m = F.expr("str_to_map(s, ',', ':')")
+    return ev.select("event_id", s.alias("s")).select(
+        "event_id",
+        m.getItem("uid").alias("uid"),
+        m.getItem("etype").alias("etype"),
+    )

@@ -399,9 +399,10 @@ FROM lineitem
 """,
 )
 def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANSI-safe ``try_*`` arithmetic (Spark 4 runs ANSI mode by default, so
-    bare division-by-zero / overflow / bad casts now RAISE like DuckDB —
-    SURVEY.md §2 fn_cast's semantic gap closed): try_divide yields NULL at
+    """ANSI-safe ``try_*`` arithmetic (Spark 4 runs ANSI mode by default:
+    bad casts raise like DuckDB, while bare division-by-zero raises where
+    DuckDB yields NULL — tests/test_properties.py pins the exact gap; the
+    try_ forms are the portable bridge): try_divide yields NULL at
     the l_linenumber=3 pole, try_cast NULLs the non-numeric strings, and
     try_add overflows BIGINT max to NULL (l_orderkey+1 is ≥1 for every
     row, so the overflow is total; the oracle states that constant-NULL

@@ -179,3 +179,54 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "udtf_polymorphic_ngrams",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS w1, toks[i+1] AS w2
+FROM d CROSS JOIN UNNEST(range(1, len(toks))) AS t(i)
+""",
+)
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 analyze()): the output schema is
+    computed at plan time from the literal n — ask for trigrams and the
+    function grows a w3 column with no code change. n=2 keeps the DuckDB
+    oracle expressible (toks[i], toks[i+1] with ordinality). The UDTF runs
+    once per input row under LATERAL, batched through Arrow like any
+    Python boundary; schema resolution costs nothing at runtime."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            width = int(n.value)
+            fields = [StructField("pos", IntegerType())]
+            fields += [
+                StructField(f"w{i + 1}", StringType()) for i in range(width)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (i + 1, *toks[i : i + n])
+
+    spark.udtf.register("c2s_ngrams", NGrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("c2s_docs_ngram")
+    return spark.sql(
+        "SELECT d.doc_id, g.pos, g.w1, g.w2 "
+        "FROM c2s_docs_ngram d, LATERAL c2s_ngrams(d.text, 2) g"
+    )

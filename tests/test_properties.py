@@ -200,3 +200,44 @@ def test_gram_einsum_path_matches_exact(spark, sf_dir):
     assert set(fast) == set(exact)
     for k, v in exact.items():
         assert abs(fast[k] - v) <= 1e-6 * max(1.0, abs(v)), (k, fast[k], v)
+
+
+def test_ansi_error_semantics_documented(spark, duck):
+    """SURVEY §2 fn_cast's semantic gap, measured precisely: bad casts RAISE
+    in both engines (Spark 4 ANSI = DuckDB); integer division by zero
+    still DIVERGES — Spark ANSI raises, DuckDB yields NULL — which is why
+    every registered query with a reachable zero divisor uses try_divide
+    with a CASE-guarded oracle (fn_try_arith) instead of bare division."""
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        spark.sql("SELECT CAST('abc' AS INT)").collect()
+    with _pt.raises(Exception):
+        duck.execute("SELECT CAST('abc' AS INTEGER)").fetchall()
+    with _pt.raises(Exception):
+        spark.sql("SELECT 1 div 0").collect()
+    assert duck.execute("SELECT 1 // 0").fetchall()[0][0] is None
+    assert spark.sql("SELECT try_divide(1, 0) AS x").collect()[0]["x"] is None
+    assert duck.execute("SELECT TRY_CAST('abc' AS INT)").fetchall()[0][0] is None
+
+
+def test_observe_metrics_surface(spark, sf_dir):
+    """df.observe() attaches named aggregates that ride the action for free
+    (no second pass) — the runner-side analogue of the reference's per-run
+    row accounting (main.cc:197, 330)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("scan_stats")
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+        )
+        .filter(F.col("l_quantity") > 25)
+    )
+    kept = df.count()
+    got = obs.get
+    assert got["rows_seen"] > kept > 0
