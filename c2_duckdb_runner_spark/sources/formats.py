@@ -271,3 +271,50 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(sup.schema)
         .parquet(base)
     )
+
+
+@register(
+    "scan_file_metadata_cols",
+    oracle="""
+SELECT 'documents.parquet' AS fname, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+""",
+)
+def scan_file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` columns: every file-source row carries its
+    provenance (file name/path/size/mtime) as a struct Spark materializes
+    only when referenced — the per-file identity the reference keeps by
+    running one query per file (main.cc:297-324) recovered inside ONE
+    multi-file scan. Grouping by _metadata.file_name is the lineage /
+    debugging / selective-reprocessing primitive at lake scale. The
+    fixture is one file per table, so the oracle states the name."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(F.col("_metadata.file_name").alias("fname"), "n_chars")
+        .groupBy("fname")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register("sink_compact_small_files", oracle="SELECT * FROM orders")
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file problem, solved in-engine: orders is first shattered
+    into many tiny files (the shape a streaming ingest or over-parallel
+    writer leaves behind — each file costs a task, an open, a footer read),
+    then compacted with a single repartition(4) rewrite. Round-trip
+    equality is the oracle; tests/test_properties.py pins the file-count
+    contract (many → exactly 4). At 100 TB this is the nightly maintenance
+    job that keeps scan task counts proportional to DATA, not to ingest
+    cadence."""
+    shattered = _out(sf_dir, "orders_shattered")
+    compacted = _out(sf_dir, "orders_compacted")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(shattered)
+    spark.read.parquet(shattered).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    return spark.read.parquet(compacted)

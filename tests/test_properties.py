@@ -241,3 +241,17 @@ def test_observe_metrics_surface(spark, sf_dir):
     kept = df.count()
     got = obs.get
     assert got["rows_seen"] > kept > 0
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """sink_compact_small_files must leave exactly 4 data files from 64."""
+    import glob
+    import os
+
+    import __spark_entry__ as entrymod
+
+    entrymod.queries()["sink_compact_small_files"](spark, sf_dir).count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    n_shard = len(glob.glob(f"/tmp/c2spark_io/{tag}/orders_shattered/part-*"))
+    n_comp = len(glob.glob(f"/tmp/c2spark_io/{tag}/orders_compacted/part-*"))
+    assert n_shard == 64 and n_comp == 4, (n_shard, n_comp)
