@@ -339,3 +339,125 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("uid").alias("uid"),
         m.getItem("etype").alias("etype"),
     )
+
+
+@register(
+    "fn_array_of_structs",
+    oracle="""
+WITH d AS (
+  SELECT l_orderkey,
+         list_transform(
+           list_filter(
+             list_zip(
+               list(l_linenumber
+                    ORDER BY l_linenumber, l_partkey, l_quantity),
+               list(l_quantity
+                    ORDER BY l_linenumber, l_partkey, l_quantity)),
+             p -> p[2] > 25),
+           p -> p[1]) AS big_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, len(big_lines) AS n_big,
+       coalesce(array_to_string(big_lines, ','), '') AS big_csv
+FROM d
+""",
+)
+def fn_array_of_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-structs with higher-order functions — lineitems nest under
+    their order as (linenumber, quantity) pairs (sorted by
+    (linenumber, partkey, quantity) — the fixture duplicates
+    (orderkey, linenumber, partkey), so quantity joins the sort key to
+    mirror Spark's struct-field comparison order exactly), then filter/transform lambdas run over the
+    nested rows WITHOUT exploding: the entire pipeline is one aggregate
+    plus per-row JVM lambda evaluation, no second shuffle. This is the
+    denormalized-document shape (order header + lines) every event lake
+    stores; DuckDB's list_zip/list_filter/list_transform spell the same
+    algebra."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "l_linenumber", "l_partkey", F.col("l_quantity").alias("q")
+                )
+            )
+        ).alias("lines")
+    )
+    big = F.transform(
+        F.filter("lines", lambda p: p["q"] > 25),
+        lambda p: p["l_linenumber"],
+    )
+    return pairs.select(
+        "l_orderkey",
+        F.size(big).alias("n_big"),
+        F.coalesce(F.array_join(big.cast("array<string>"), ","), F.lit("")).alias(
+            "big_csv"
+        ),
+    )
+
+
+@register(
+    "fn_from_csv",
+    oracle="""
+SELECT e.event_id, e.user_id AS uid, e.event_type AS etype,
+       round(e.value, 3) AS val
+FROM events e
+""",
+)
+def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_csv — parse an embedded CSV line (the queue-message / log-line
+    payload decoder, complement of fn_from_json): a deterministic line is
+    synthesized per event, parsed back through the CSV reader with a typed
+    schema, and the probed fields must re-derive the inputs. value rides
+    as round(...,3) text so the double round-trips exactly."""
+    ev = load(spark, sf_dir, "events")
+    line = F.concat_ws(
+        ",",
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.round("value", 3).cast("string"),
+    )
+    parsed = ev.select("event_id", line.alias("line")).select(
+        "event_id",
+        F.from_csv(
+            "line", F.lit("uid BIGINT, etype STRING, val DOUBLE")
+        ).alias("v"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("v.uid").alias("uid"),
+        F.col("v.etype").alias("etype"),
+        F.col("v.val").alias("val"),
+    )
+
+
+@register(
+    "fn_map_higher_order",
+    oracle="""
+SELECT doc_id,
+       CAST(n_chars * 2 AS BIGINT) AS chars2,
+       CAST(CASE WHEN n_chars > 500 THEN n_chars ELSE NULL END AS BIGINT)
+         AS big_or_null,
+       2 AS n_keys
+FROM documents
+""",
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — transform_values doubles every value,
+    map_filter keeps only large entries, map probes pull scalars back out
+    (maps never surface whole in the result: key order is engine-defined,
+    probed values are total). The per-document feature-bag (metric name →
+    value) is the natural schema for heterogeneous quality signals; these
+    lambdas maintain it without exploding to rows."""
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("len"), F.col("n_chars"), F.lit("half"), F.col("n_chars") / 2
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big = F.map_filter(m, lambda k, v: v > 500)
+    return d.select(
+        "doc_id",
+        doubled.getItem("len").cast("bigint").alias("chars2"),
+        big.getItem("len").cast("bigint").alias("big_or_null"),
+        F.size(doubled).alias("n_keys"),
+    )

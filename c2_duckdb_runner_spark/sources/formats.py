@@ -318,3 +318,41 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(compacted)
     return spark.read.parquet(compacted)
+
+
+@register(
+    "scan_nested_struct_pruning",
+    oracle="""
+SELECT c_custkey, c_name AS name, c_acctbal AS bal
+FROM customer WHERE c_acctbal > 1000
+""",
+)
+def scan_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema pruning: customer is rewritten with its attributes
+    folded into a struct column (the shape real event/entity lakes have),
+    then only two leaves of the struct are selected — the parquet read
+    schema must contain just those leaves, not the whole struct (Catalyst
+    SchemaPruning; pinned by tests/test_plans.py). Without it, a 200-field
+    profile struct is fully decoded to answer a 2-field query — the single
+    biggest silent read-amplification at scale. The struct-field filter
+    also pushes down."""
+    path = _out(sf_dir, "customer_nested")
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        c = load(spark, sf_dir, "customer")
+        c.select(
+            "c_custkey",
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_nationkey").alias("nat"),
+                F.col("c_acctbal").alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            ).alias("profile"),
+        ).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(F.col("profile.bal") > 1000).select(
+        "c_custkey",
+        F.col("profile.name").alias("name"),
+        F.col("profile.bal").alias("bal"),
+    )

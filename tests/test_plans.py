@@ -423,3 +423,16 @@ def test_dynamic_partition_pruning_fires(q):
     df = q("join_dynamic_partition_pruning")
     plan = pi.formatted_plan(df)
     assert "dynamicpruning" in plan.lower(), plan[:1200]
+
+
+def test_nested_struct_pruning_reads_only_leaves(q):
+    """Selecting 2 leaves of a 4-field struct must prune the read schema to
+    those leaves and push the struct-field filter down."""
+    df = q("scan_nested_struct_pruning")
+    schemas = pi.read_schemas(df)
+    assert schemas, "expected a parquet scan"
+    s = schemas[0]
+    assert "name" in s and "bal" in s, s
+    assert "seg" not in s and "nat" not in s, s
+    fs = pi.pushed_filters(df)
+    assert any("bal" in f for f in fs), fs
