@@ -143,3 +143,38 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, n, qty
         """
     )
+
+
+@register(
+    "sql_scripting_variables",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+GROUP BY l_returnflag
+""",
+)
+def sql_scripting_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END) with session variables: a scalar
+    statistic is computed into a DECLAREd variable, then drives the main
+    query's predicate — the parameterized-job shape (compute watermark →
+    filter by it) written entirely in SQL instead of driver-side glue. The
+    variable read folds to a literal at plan time, so the filter still
+    pushes into the scan. avg(l_quantity) sums integer-valued doubles
+    (exactly representable), so the threshold is bit-identical in both
+    engines. The oracle inlines the scalar subquery."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sv")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0.0;
+          SET thr = (SELECT avg(l_quantity) FROM lineitem_sv);
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+          FROM lineitem_sv WHERE l_quantity > thr
+          GROUP BY l_returnflag;
+        END
+        """
+    )

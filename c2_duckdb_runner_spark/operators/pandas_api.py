@@ -151,3 +151,41 @@ def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+@register(
+    "pandas_on_spark_api",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+""",
+)
+def pandas_on_spark_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third API surface — pandas-on-Spark (pyspark.pandas): a
+    pandas-shaped groupby/agg whose every step PLANS to the same Catalyst
+    operators as the DataFrame form (distributed-sequence index avoids the
+    global-ordering window a default pandas index would force). ps code is
+    how data scientists will drive this engine; this proves it hits the
+    same engine, same results, to_spark() round-trip included."""
+    import pyspark.pandas as ps
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        pdf = ps.read_parquet(f"{sf_dir}/documents.parquet")
+        out = pdf.groupby("lang", as_index=False).agg(
+            n=("n_chars", "count"),
+            total_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"),
+        )
+        sdf = out.to_spark()
+    finally:
+        ps.set_option("compute.default_index_type", prev)
+    return sdf.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("max_chars").cast("bigint").alias("max_chars"),
+    )

@@ -520,3 +520,45 @@ def _tws_fallback_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(spark, out, "update")
+
+
+@register(
+    "stream_parquet_sink",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 6) AS val
+FROM events WHERE event_type <> 'error'
+""",
+)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native transactional FILE sink: a stateless filtered projection
+    streams to a parquet directory in append mode; every committed batch is
+    recorded in the sink's _spark_metadata transaction log, and the batch
+    read-back consults that log — uncommitted/orphan files from a crashed
+    writer are invisible, which IS the exactly-once story for file outputs
+    (no rename dance, no manifest service). Stateless append with
+    availableNow is row-deterministic, so the full oracle checks values,
+    not just counts."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/c2spark_io/{tag}/stream_sink_events"
+    ckpt = f"{out_dir}_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src = _events_stream(spark, sf_dir)
+    proj = src.filter(F.col("event_type") != "error").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("val"),
+    )
+    q = (
+        proj.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
