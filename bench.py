@@ -97,18 +97,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from pyspark.sql import SparkSession
-
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
+    from c2_duckdb_runner_spark import session as session_mod
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("c2-spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # Build through the package factory so the timed path runs with the SAME
+    # session-creation-time confs the tests and driver verify against
+    # (maxPartitionBytes, shuffle width, AQE, UTC timezone).
+    spark = session_mod.get_spark(app_name="c2-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
@@ -142,16 +138,19 @@ def main() -> None:
                 _materialize(qs[key](spark, sf_dir))
                 best = min(best, time.monotonic() - t0)
         except Exception as exc:  # one broken query must not sink the run
-            errors[key] = str(exc).split("\n", 1)[0][:200]
+            # Keep error strings SHORT (80 chars): the driver captures only a
+            # stdout tail, and long errors previously pushed the JSON line
+            # past the capture window (BENCH_r01 "parsed": null).
+            errors[key] = str(exc).split("\n", 1)[0][:80]
             print(f"bench: {key} ERROR {errors[key]}", file=sys.stderr)
             continue
-        timings[key] = round(best, 4)
+        timings[key] = round(best, 3)
         print(f"bench: {key} {timings[key]:.3f}s", file=sys.stderr)
         # drop operator-internal caches (e.g. LSH signature tables) so later
         # queries aren't taxed by earlier queries' resident memory
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -162,8 +161,19 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out), flush=True)
+    # Durable copy on disk (the driver's stdout capture is tail-limited).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass
+    # Stop Spark BEFORE printing so no shutdown logging can land after the
+    # JSON line — it must be the very last stdout line.
     spark.stop()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

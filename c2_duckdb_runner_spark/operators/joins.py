@@ -174,7 +174,10 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (theta) join → BroadcastNestedLoopJoin with supplier (the
     small side) broadcast. Cost is O(|s|·|c|): fine for a dim×fact inequality,
-    never for fact×fact — that case gets banded (cf. join_asof)."""
+    never for fact×fact. The registered scale path for the fact×fact case is
+    ``join_range_banded`` (operators/scale_patterns.py) — band the range into
+    an equi-join key and re-check the exact predicate after; ``join_asof``
+    shows the same idea for time ordering."""
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
     return (

@@ -165,10 +165,13 @@ def simsearch_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the inner loop of IVF index training and embedding clustering.
     Centroids broadcast; each vector computes its k distances map-side via
-    a zip_with fold — no shuffle until the trivial per-vector argmin.
-    Distances fold per-dimension squared diffs into DECIMAL(26,18):
-    exact, so Spark's sequential fold equals DuckDB's aggregate SUM
-    bit-for-bit and the (dist, centroid_id) argmin order is total."""
+    a zip_with fold. Distances fold per-dimension squared diffs into
+    DECIMAL(26,18): exact, so Spark's sequential fold equals DuckDB's
+    aggregate SUM bit-for-bit and the (dist, centroid_id) argmin order is
+    total. The argmin is min-of-(d2, c_id)-struct — a map-side-combinable
+    aggregate (partial min per partition, one narrow shuffle of |corpus|
+    rows), NOT a window sort which would shuffle and sort all |corpus|×k
+    scored rows. Same pattern as simsearch_pq_assign."""
     emb = load(spark, sf_dir, "embeddings")
     cent = F.broadcast(
         emb.filter(F.col("vec_id") < 8).select(
@@ -184,16 +187,15 @@ def simsearch_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate({term}, CAST(0 AS DECIMAL(26,18)), "
         "(acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "c_id")
     return (
         emb.crossJoin(cent)
         .select("vec_id", "c_id", F.expr(fold).alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "c_id")).alias("best"))
         .select(
             "vec_id",
-            F.col("c_id").alias("centroid_id"),
-            F.round(F.col("d2").cast("double"), 6).alias("dist2"),
+            F.col("best.c_id").alias("centroid_id"),
+            F.round(F.col("best.d2").cast("double"), 6).alias("dist2"),
         )
     )
 

@@ -104,7 +104,13 @@ class RunReport:
         print(f"threads: {self.threads}", file=out)
         print(f"query time: {self.seconds:.6f} s", file=out)
         print(f"total rows: {self.total_rows}", file=out)
-        print(f"total read ops: {self.read_ops}", file=out)
+        ops_note = ""
+        if self.read_ops == 0 and self.read_bytes > 0:
+            # Hadoop's RawLocalFileSystem counts bytes but not read ops on
+            # local disk; bytes are the headline metric there. On HDFS/S3
+            # both fields populate — keep the 5-field parity claim honest.
+            ops_note = " (local fs reports bytes only)"
+        print(f"total read ops: {self.read_ops}{ops_note}", file=out)
         print(f"total read bytes: {self.read_bytes}", file=out)
         for d, s in self.disk_deltas.items():
             print(

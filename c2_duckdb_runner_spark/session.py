@@ -28,12 +28,14 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses outright
-    # (PARQUET_TYPE_ILLEGAL). Read nanos as long; tables.load() converts to
-    # TimestampType via timestamp_micros(ts div 1000) — identical to what
-    # DuckDB 1.0 does when it surfaces the same column as µs TIMESTAMP.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+# NOTE on events.ts (parquet TIMESTAMP(NANOS)): on this Spark 4.1.2 build the
+# column loads as TIMESTAMP_NTZ and the `spark.sql.legacy.parquet.nanosAsLong`
+# conf is a no-op, so there is no session conf to pin here. The real guard is
+# the load-time normalization in tables.load() / streaming._events_stream,
+# which casts NTZ→TIMESTAMP (value-preserving under the pinned-UTC session)
+# or converts bigint nanos on builds where nanosAsLong IS honored.
 
 
 def default_parallelism() -> int:

@@ -128,8 +128,29 @@ class ParquetDirReader(DataSourceReader):
         yield from table.to_batches()
 
 
+def _pickle_by_value() -> None:
+    """Ship this module BY VALUE inside the pickled data source.
+
+    Python DataSource classes are cloudpickled and re-instantiated in Python
+    workers. Pickle-by-reference (the default for importable modules) would
+    require every worker to be able to ``import c2_duckdb_runner_spark`` —
+    true under pytest (cwd = repo root) but NOT for an external driver
+    running from another directory. By-value serialization removes the
+    import dependency entirely: the source works in any consumer's session,
+    which is the whole point of a self-describing format string."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # very old cloudpickle: fall back to by-reference
+
+
 def _ensure_registered(spark: SparkSession) -> None:
     # Registration is session-scoped and idempotent-by-overwrite.
+    _pickle_by_value()
     spark.dataSource.register(ParquetDirDataSource)
 
 
@@ -244,6 +265,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import ast
     import time
 
+    _pickle_by_value()
     spark.dataSource.register(EventsReplayDataSource)
     path = f"{sf_dir}/events.parquet"
     total = spark.read.parquet(path).count()

@@ -44,8 +44,13 @@ _SINK_IDS = itertools.count()
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = spark.readStream.schema(static.schema).parquet(f"{sf_dir}/events*.parquet")
-    if dict(src.dtypes).get("ts") == "bigint":
+    # Normalize ts at the SOURCE: F.window over TIMESTAMP_NTZ yields NTZ
+    # w.start/w.end, so downstream unix_millis() would fail if we cast later.
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 

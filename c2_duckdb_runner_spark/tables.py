@@ -33,15 +33,25 @@ BROADCAST_DIMS = {"region", "nation"}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (one parquet file per table, per TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as LongType nanos and
-    we convert to µs TimestampType with integer division (``div``, not ``/``:
-    epoch-ns ≈ 1.7e18 overflows double's 53-bit mantissa). DuckDB 1.0 reads
-    the same column as µs TIMESTAMP, so both engines see identical values.
+    ``events.ts`` is parquet TIMESTAMP(NANOS). Depending on the Spark build
+    it surfaces either as LongType nanos (``nanosAsLong`` honored) or as
+    TIMESTAMP_NTZ (this 4.1.2 build). Normalize both to TimestampType:
+
+    - bigint nanos → ``timestamp_micros(ts div 1000)`` (integer ``div``, not
+      ``/``: epoch-ns ≈ 1.7e18 overflows double's 53-bit mantissa);
+    - TIMESTAMP_NTZ → ``cast(timestamp)``. The session timezone is pinned
+      UTC (session.py), so the cast is value-preserving.
+
+    DuckDB 1.0 reads the same column as µs TIMESTAMP, so both engines see
+    identical values either way.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
