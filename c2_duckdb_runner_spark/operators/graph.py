@@ -98,39 +98,36 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(32, "src")
         .persist()
     )
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist()
-    )
+    # Node spine: src ∪ dst — but the graph is SYMMETRIZED, so src set ==
+    # dst set == node set, and every node receives at least one
+    # contribution each round. The textbook per-iteration LEFT JOIN back to
+    # the node spine (for contribution-less nodes) is therefore a provable
+    # no-op here: groupBy(dst) already emits every node. Dropping it saves
+    # one join per iteration; the oracle keeps the LEFT JOIN form and the
+    # hash check proves the equivalence.
+    nodes = edges.select(F.col("src").alias("id")).distinct()
     ranks = nodes.select("id", F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(_ITERS):
-        contrib = (
+        ranks = (
             edges_deg.join(ranks, edges_deg.src == ranks.id)
             .select("dst", F.expr("r div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.id == contrib.dst, "left")
             .select(
-                "id",
-                (
-                    F.lit(150_000)
-                    + F.expr("850 * coalesce(s, 0L) div 1000")
-                ).cast("long").alias("r"),
+                F.col("dst").alias("id"),
+                (F.lit(150_000) + F.expr("850 * s div 1000"))
+                .cast("long")
+                .alias("r"),
             )
-            # eager: materialize each round NOW, while the edge/node caches
-            # are alive — the final action then reads the checkpoint instead
-            # of replaying 3 rounds of lineage (and the caches can be
-            # dropped safely before returning)
+            # eager: materialize each round NOW, while the edge caches are
+            # alive — the final action then reads the checkpoint instead of
+            # replaying 3 rounds of lineage (and the caches can be dropped
+            # safely before returning)
             .localCheckpoint(eager=True)
         )
     out = ranks.select("id", F.col("r").alias("rank_micros"))
     edges.unpersist()
     edges_deg.unpersist()
-    nodes.unpersist()
     return out
 
 

@@ -104,19 +104,30 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # pairs subtree is expensive; reuse it
     )
-    labels = docs.select(
-        F.col("doc_id").alias("a"), F.col("doc_id").alias("component_id")
+    # Iterate ONLY over edge-endpoint nodes: a doc in no near-dup pair is a
+    # singleton whose label never changes, so it has no business inside the
+    # propagation loop. At corpus scale this is the difference between
+    # shuffling |V(edges)| rows per round (dup-cluster members — a few % of
+    # docs) and shuffling the whole corpus per round. Singletons rejoin at
+    # the end with component_id = their own doc_id.
+    # (column renamed node_id so the loop's edges⨝labels self-join lineage
+    # stays unambiguous)
+    labels = (
+        edges.select(F.col("a").alias("node_id"))
+        .distinct()
+        .withColumn("component_id", F.col("node_id"))
+        .localCheckpoint(eager=True)
     )
     while True:
         neighbor_min = (
-            edges.join(labels, edges.b == labels.a)
+            edges.join(labels, edges.b == labels.node_id)
             .groupBy(edges.a.alias("node"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
         updated = (
-            labels.join(neighbor_min, labels.a == neighbor_min.node, "left")
+            labels.join(neighbor_min, labels.node_id == neighbor_min.node, "left")
             .select(
-                "a",
+                "node_id",
                 F.least(
                     F.col("component_id"),
                     F.coalesce(F.col("nbr_min"), F.col("component_id")),
@@ -132,7 +143,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.drop("changed")
         if n_changed == 0:
             break
-    return labels.select(F.col("a").alias("doc_id"), "component_id")
+    return docs.join(labels, docs.doc_id == labels.node_id, "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
 
 
 # ---------------------------------------------------------------------------

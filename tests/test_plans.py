@@ -343,6 +343,16 @@ def test_ohlc_single_agg_no_window(q):
     assert pi.shuffle_count(df) == 1, plan[:800]
 
 
+def test_kmeans_assign_single_agg_no_window(q):
+    """Lloyd assignment argmin must be a min-of-(d2,c_id)-struct grouped
+    aggregate (map-side combinable, one narrow shuffle of |corpus| rows) —
+    never a Window sort over the |corpus|×k scored rows."""
+    df = q("simsearch_kmeans_assign")
+    plan = pi.formatted_plan(df)
+    assert "Window" not in plan, plan[:800]
+    assert pi.shuffle_count(df) == 1, plan[:800]
+
+
 def test_exists_projection_plans_existence_joins(q):
     """Projected EXISTS flags must plan as ExistenceJoin hash probes (the
     flag-emitting semi-join variant) — no nested loop, no row loss."""
