@@ -75,6 +75,7 @@ HEADLINE = [
     "agg_bitmap_distinct",      # exact distinct via bitmap partial aggs
     "join_dynamic_partition_pruning",  # runtime directory pruning (layout write + DPP probe)
     "source_python_datasource",  # Python DataSource: Arrow-batch source path
+    "agg_countmin_freq",        # mergeable Count-Min frequency sketches
 ]
 
 

@@ -142,6 +142,121 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(merged)
 
 
+def _cms_parse(b: bytes):
+    """Parse Spark's CountMinSketch binary (CountMinSketchImpl.writeTo):
+    big-endian version(i32), totalCount(i64), depth(i32), width(i32),
+    hashA[depth] (i64), table[depth][width] (i64). Public format — written
+    by the built-in ``count_min_sketch`` aggregate."""
+    import struct
+
+    off = 0
+    (_ver,) = struct.unpack_from(">i", b, off)
+    off += 4
+    (total,) = struct.unpack_from(">q", b, off)
+    off += 8
+    (depth,) = struct.unpack_from(">i", b, off)
+    off += 4
+    (width,) = struct.unpack_from(">i", b, off)
+    off += 4
+    hash_a = list(struct.unpack_from(f">{depth}q", b, off))
+    off += 8 * depth
+    table = []
+    for _ in range(depth):
+        table.append(list(struct.unpack_from(f">{width}q", b, off)))
+        off += 8 * width
+    return total, depth, width, hash_a, table
+
+
+def _cms_estimate_long(depth, width, hash_a, table, x: int) -> int:
+    """Point-query a parsed sketch for an int64 key — min over the depth
+    rows of table[i][hash_i(x)], replicating CountMinSketchImpl.hashLong
+    (64-bit wrap, arithmetic >>32 fold, mod Mersenne prime 2^31-1)."""
+    prime = (1 << 31) - 1
+    best = None
+    for i in range(depth):
+        h = (hash_a[i] * x) & 0xFFFFFFFFFFFFFFFF
+        if h >= 1 << 63:  # reinterpret as Java signed long
+            h -= 1 << 64
+        h += h >> 32
+        h &= prime
+        v = table[i][h % width]
+        if best is None or v < best:
+            best = v
+    return int(best)
+
+
+_CMS_EPS = 0.005
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_PROBE_USERS = list(range(1, 11))
+
+
+@register("agg_countmin_freq", oracle=None)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation via mergeable Count-Min sketches: one bounded-
+    memory pass builds a per-event_type CMS of user_id (built-in JVM
+    ``count_min_sketch`` aggregate — map-side combinable partial state,
+    never holds raw keys), then a driver-sized merge step adds the tables
+    element-wise (CMS merge IS vector addition for same depth/width/seed)
+    and point-queries a fixed probe set of user ids per type AND globally.
+
+    The 100 TB shape: raw 'how often does key X appear' over an arbitrary
+    key universe needs either a full groupBy(key) shuffle or a sketch;
+    the sketch is ~10 KB per group, re-aggregatable across partitions /
+    days / sources without re-scanning. Guarantee: true ≤ est ≤ true +
+    eps·N with prob ≥ confidence — pinned by tests/test_sketches.py
+    against exact counts. Sketch internals are engine-specific (DuckDB has
+    no CMS), so the oracle is rows-only."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr(
+            f"count_min_sketch(user_id, {_CMS_EPS}d, {_CMS_CONF}d, {_CMS_SEED})"
+        ).alias("sk")
+    )
+
+    probe = _CMS_PROBE_USERS
+
+    def merge_and_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        parsed = {
+            r.event_type: _cms_parse(bytes(r.sk)) for r in pdf.itertuples()
+        }
+        rows = []
+        for etype, (_tot, depth, width, ha, tab) in sorted(parsed.items()):
+            for u in probe:
+                rows.append(
+                    (etype, u, _cms_estimate_long(depth, width, ha, tab, u))
+                )
+        # element-wise merge of all per-type sketches (identical params)
+        first = next(iter(parsed.values()))
+        depth, width, ha = first[1], first[2], first[3]
+        merged = [[0] * width for _ in range(depth)]
+        for _tot, _d, _w, _ha, tab in parsed.values():
+            for i in range(depth):
+                row = merged[i]
+                ti = tab[i]
+                for j in range(width):
+                    row[j] += ti[j]
+        for u in probe:
+            rows.append(
+                ("__all__", u, _cms_estimate_long(depth, width, ha, merged, u))
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "user_id", "est_count"]
+        )
+
+    # one group (a handful of ~10 KB sketches — driver-sized by
+    # construction); Arrow-batched boundary like every Python step here
+    return (
+        per_type.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            merge_and_probe,
+            schema="event_type string, user_id bigint, est_count bigint",
+        )
+    )
+
+
 @register("agg_approx_percentile", oracle=None)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna summary): p50/p95/p99 of

@@ -35,6 +35,43 @@ def test_hll_sketch_union_within_error(spark, sf_dir):
     assert abs(res["__all__"] - exact_all) <= max(3, 0.05 * exact_all)
 
 
+def test_countmin_freq_within_eps(spark, sf_dir):
+    """CMS guarantee: true ≤ est ≤ true + eps·N (prob ≥ confidence; seed is
+    pinned so the check is deterministic). Verified per event_type AND for
+    the element-wise-merged global sketch, whose N is the whole table."""
+    from c2_duckdb_runner_spark.operators.sketches_timeseries import (
+        _CMS_EPS,
+        _CMS_PROBE_USERS,
+    )
+    from c2_duckdb_runner_spark.tables import load
+
+    est = {
+        (r["event_type"], r["user_id"]): r["est_count"]
+        for r in QUERIES["agg_countmin_freq"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    n_by_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_all = sum(n_by_type.values())
+    exact = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in ev.filter(F.col("user_id").isin(_CMS_PROBE_USERS))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for (etype, uid), e in est.items():
+        true = (
+            sum(v for (t, u), v in exact.items() if u == uid)
+            if etype == "__all__"
+            else exact.get((etype, uid), 0)
+        )
+        n = n_all if etype == "__all__" else n_by_type[etype]
+        assert true <= e <= true + _CMS_EPS * n, (etype, uid, e, true, n)
+
+
 def test_approx_percentile_within_rank_error(spark, sf_dir):
     """GK rank error is n/accuracy; with accuracy=10000 the estimated
     quantile's true rank must be within n/10000 (+1 slack) of the target
