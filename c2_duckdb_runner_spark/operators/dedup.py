@@ -96,7 +96,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s0 FROM d),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(s0), 1, 15)) AS BIGINT) AS s
+       FROM sh0),
 n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
 p AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
@@ -116,13 +119,28 @@ WHERE common * 1.0 / (na.nsh + nb.nsh - common) >= 0.8
 def dedup_near_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by token-4-gram Jaccard ≥ 0.8, shingle-blocked.
 
-    Plan shape: explode shingles → self-join on shingle (the blocking step —
-    only docs sharing a shingle ever meet) → count common per pair → join
-    per-doc shingle counts → Jaccard filter. All shuffles are keyed on
-    shingle/doc_id; nothing is ever O(n²).
+    Plan shape: explode shingles → self-join on the 60-bit md5-prefix HASH
+    of the shingle (the blocking step — only docs sharing a shingle ever
+    meet) → count common per pair → join per-doc shingle counts → Jaccard
+    filter. All shuffles are keyed on hash/doc_id; nothing is ever O(n²).
+
+    Hashing before the join shuffles 8-byte longs instead of ~25-byte
+    shingle strings (~3× less exchange volume — the difference between
+    shipping the corpus's n-grams twice and shipping fingerprints). md5 is
+    computed IDENTICALLY in the DuckDB oracle, so even the astronomically
+    unlikely 60-bit collision would inflate both engines' counts equally
+    and the differential stays exact.
     """
     sh = _with_shingles(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    exploded = sh.select(
+        "doc_id",
+        F.explode("sh").alias("s0"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("s"),
+    )
     n = sh.select("doc_id", "nsh")
     a = exploded.alias("a")
     b = exploded.alias("b")

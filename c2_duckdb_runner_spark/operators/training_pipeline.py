@@ -58,7 +58,10 @@ from c2_duckdb_runner_spark.tables import load
     "dedup_cluster_cc",
     oracle=f"""
 WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM d),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s0 FROM d),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(s0), 1, 15)) AS BIGINT) AS s
+       FROM sh0),
 n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
 p AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
