@@ -76,6 +76,7 @@ HEADLINE = [
     "join_dynamic_partition_pruning",  # runtime directory pruning (layout write + DPP probe)
     "source_python_datasource",  # Python DataSource: Arrow-batch source path
     "agg_countmin_freq",        # mergeable Count-Min frequency sketches
+    "dedup_duplicate_spans",    # substring-level dedup (rolling window hashes)
 ]
 
 

@@ -163,6 +163,164 @@ def dedup_near_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s0 FROM d),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(s0), 1, 15)) AS BIGINT) AS s
+       FROM sh0),
+n AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id AS contained_id, b_id AS container_id,
+       ROUND(common * 1.0 / na.nsh, 6) AS containment
+FROM p
+JOIN n na ON na.doc_id = p.a_id
+JOIN n nb ON nb.doc_id = p.b_id
+WHERE common * 1.0 / na.nsh >= 0.6
+  AND (na.nsh < nb.nsh OR (na.nsh = nb.nsh AND a_id < b_id))
+"""
+
+
+@register("dedup_containment_ngram", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(A→B) = |sh(A)∩sh(B)| / |sh(A)|
+    ≥ 0.6 with A the smaller doc — catches a short doc embedded in a longer
+    one (boilerplate, quoted articles, page templates), which symmetric
+    Jaccard misses because the union in its denominator is dominated by the
+    big doc. Same hashed-shingle blocking join as dedup_near_ngram_jaccard
+    (only docs sharing a shingle ever meet; shuffles carry 8-byte
+    fingerprints); the direction rule (strictly fewer shingles, doc_id
+    tiebreak on equal sizes) keeps each unordered pair single-emitted.
+    """
+    sh = _with_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("sh").alias("s0")).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("s"),
+    )
+    n = sh.select("doc_id", "nsh")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    na = n.alias("na")
+    nb = n.alias("nb")
+    cont = F.col("common") * 1.0 / F.col("na.nsh")
+    return (
+        pairs.join(na, F.col("na.doc_id") == F.col("a_id"))
+        .join(nb, F.col("nb.doc_id") == F.col("b_id"))
+        .filter(
+            (cont >= 0.6)
+            & (
+                (F.col("na.nsh") < F.col("nb.nsh"))
+                | (
+                    (F.col("na.nsh") == F.col("nb.nsh"))
+                    & (F.col("a_id") < F.col("b_id"))
+                )
+            )
+        )
+        .select(
+            F.col("a_id").alias("contained_id"),
+            F.col("b_id").alias("container_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+# Rolling 16-token windows for duplicated-span detection (docs in the
+# fixture average ~54 tokens; production pipelines use ~50-token windows
+# per Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" — the window length is a constant, the plan is identical).
+_SPAN_W = 16
+
+_SPAN_WINDOWS = (
+    f"CASE WHEN size(toks) >= {_SPAN_W} THEN "
+    f"transform(sequence(1, size(toks)-{_SPAN_W - 1}), "
+    f"i -> struct(i AS pos, "
+    f"CAST(conv(substring(md5(array_join(slice(toks, i, {_SPAN_W}), ' ')), "
+    f"1, 15), 16, 10) AS BIGINT) AS h)) "
+    f"ELSE CAST(array() AS array<struct<pos:int, h:bigint>>) END"
+)
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w0 AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'w': array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')}}
+                 FOR i IN range(1, greatest(len(toks)-{_SPAN_W - 2}, 1))]) AS u
+  FROM d
+),
+w AS (SELECT doc_id, u.pos AS pos,
+             CAST(('0x' || substring(md5(u.w), 1, 15)) AS BIGINT) AS h
+      FROM w0),
+dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(CASE WHEN dup.h IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_dup_windows,
+       ROUND(COUNT(CASE WHEN dup.h IS NOT NULL THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS dup_ratio
+FROM w LEFT JOIN dup ON w.h = dup.h
+GROUP BY doc_id
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection (substring-level dedup, the Lee et al.
+    shape): hash every rolling 16-token window, mark windows whose
+    hash occurs in ≥ 2 distinct docs, and report per-doc duplicated-window
+    counts/ratio — the signal used to cut repeated boilerplate spans out of
+    otherwise-unique documents (doc-level dedup can't see them).
+
+    Plan: map-side window hashing (one md5 per window position) → one
+    groupBy(h) with a distinct-doc count to find corpus-duplicated hashes →
+    one broadcast-or-shuffle semi-style LEFT JOIN back + per-doc agg. No
+    self-join at all: the window-hash table joins the (much smaller)
+    duplicated-hash set, so the heavy side is touched twice, never squared.
+    Docs shorter than the window emit no rows — they cannot contain a
+    duplicated span of that length.
+    """
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    w = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(_SPAN_WINDOWS)).alias("u"))
+        .select("doc_id", F.col("u.pos").alias("pos"), F.col("u.h").alias("h"))
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    return (
+        w.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_windows"),
+            F.round(
+                F.count(F.when(F.col("is_dup"), 1)) * 1.0 / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 # 32 minhash permutations; 8 bands × 4 rows. Instead of 32 xxhash64 passes
 # over every shingle array, hash each shingle ONCE (hs) and derive the 32
 # permutations as affine universal hashes a_j*h + b_j over wrapping int64 —

@@ -95,6 +95,19 @@ def test_ngram_jaccard_no_cartesian(q):
     assert "CartesianProduct" not in plan
 
 
+def test_containment_no_cartesian(q):
+    plan = pi.formatted_plan(q("dedup_containment_ngram"))
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_no_self_join_blowup(q):
+    """Span dedup joins the window table against the (small) duplicated-hash
+    set — never against itself. No cartesian, no nested loop."""
+    plan = pi.formatted_plan(q("dedup_duplicate_spans"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_bucketed_join_reads_buckets_without_shuffle(q):
     """Co-located bucketed join: scans show Bucketed: true and the join
     itself needs no Exchange (the only shuffle is the final group-by)."""
