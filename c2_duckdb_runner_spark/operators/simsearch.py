@@ -130,6 +130,109 @@ def simsearch_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF multi-probe: nprobe=2 cells, decimal-exact assignment ------------
+_N_CENT = 8
+_N_PROBE = 2
+
+# per-centroid squared-L2 as an exact DECIMAL(26,18) fold (same discipline
+# as simsearch_kmeans_assign, so Spark's sequential fold == DuckDB's SUM)
+_D2_FOLD = (
+    "aggregate(zip_with(v, c.cvec, (a, b) -> "
+    "CAST((a - b) * (a - b) AS DECIMAL(26,18))), "
+    "CAST(0 AS DECIMAL(26,18)), (acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
+)
+# all k (d2, c_id) pairs for one row, from the broadcast centroid array
+_CELL_SCORES = f"transform(cents, c -> struct({_D2_FOLD} AS d2, c.c_id AS c_id))"
+
+
+@register(
+    "simsearch_ivf_multiprobe",
+    oracle=f"""
+WITH {_DUCK_BASE},
+c AS (SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < {_N_CENT}),
+d2 AS (
+  SELECT n.vec_id, c.c_id,
+         SUM(CAST((n.v[i] - c.cvec[i]) * (n.v[i] - c.cvec[i])
+                  AS DECIMAL(26,18))) AS d2
+  FROM n CROSS JOIN c CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+  GROUP BY n.vec_id, c.c_id
+),
+cell AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+    FROM d2) WHERE rn = 1
+),
+probe AS (
+  SELECT c_id AS cell FROM (
+    SELECT c_id, ROW_NUMBER() OVER (ORDER BY d2, c_id) AS rn
+    FROM d2 WHERE vec_id = {_QUERY_ID}) WHERE rn <= {_N_PROBE}
+)
+SELECT n.vec_id AS vec_id, cell.cell AS cell, {_DUCK_COS} AS cos
+FROM n JOIN cell ON cell.vec_id = n.vec_id
+       JOIN probe ON probe.cell = cell.cell, q
+WHERE n.vec_id <> {_QUERY_ID}
+ORDER BY cos DESC, vec_id ASC
+LIMIT {_TOP_K}
+""",
+)
+def simsearch_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF query path, nprobe=2: assign every corpus vector to its
+    nearest of k=8 seed centroids, find the QUERY's 2 nearest cells, score
+    exact cosine only inside those cells, take top-10.
+
+    Scale shape — zero corpus shuffle end to end: the k centroids collapse
+    into ONE broadcast row (collect_list of structs), cell assignment is an
+    ``array_min(transform(...))`` higher-order argmin computed map-side per
+    row (no groupBy, unlike the training-step ``simsearch_kmeans_assign``
+    which must emit the assignment table), the probe-cell set rides the same
+    broadcast row, and the final top-k is TakeOrderedAndProject. On a real
+    cluster the candidate filter prunes ~(nprobe/k) of the corpus before
+    any cosine is computed. Distances are DECIMAL(26,18)-exact so cell
+    boundaries match DuckDB bit-for-bit."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("v", F.expr(_V))
+        .withColumn("nrm", F.expr(_NRM))
+        .select("vec_id", "v", "nrm")
+    )
+    cents = (
+        e.filter(F.col("vec_id") < _N_CENT)
+        .select(F.struct(F.col("vec_id").alias("c_id"), F.col("v").alias("cvec")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )  # ONE row: the whole coarse quantizer
+    scored_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cell", F.expr(f"array_min({_CELL_SCORES}).c_id"))
+        .drop("cents")
+    )
+    q = (
+        e.filter(F.col("vec_id") == _QUERY_ID)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.expr(
+                f"transform(slice(array_sort({_CELL_SCORES}), 1, {_N_PROBE}),"
+                " s -> s.c_id)"
+            ).alias("probe_cells"),
+        )
+    )
+    return (
+        scored_cells.crossJoin(F.broadcast(q))
+        .filter(
+            F.array_contains(F.col("probe_cells"), F.col("cell"))
+            & (F.col("vec_id") != _QUERY_ID)
+        )
+        .withColumn("cos", F.round(F.expr(_DOT) / (F.col("nrm") * F.col("qnrm")), 6))
+        .select("vec_id", "cell", "cos")
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(_TOP_K)
+    )
+
+
 # Deterministic hyperplane LSH: sign buckets of 3 fixed components.
 # Spark subscript v[i] is 0-based but DuckDB's is 1-based, so the Spark side
 # must use element_at (1-based) to address the same components.

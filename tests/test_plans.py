@@ -95,6 +95,17 @@ def test_ngram_jaccard_no_cartesian(q):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_multiprobe_no_corpus_shuffle(q):
+    """IVF query path: the corpus must never hash-shuffle — the only
+    exchanges allowed are the 8-row centroid collect (SinglePartition) and
+    broadcasts; top-k must reduce as TakeOrderedAndProject."""
+    df = q("simsearch_ivf_multiprobe")
+    plan = pi.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" not in plan, plan[:800]
+
+
 def test_containment_no_cartesian(q):
     plan = pi.formatted_plan(q("dedup_containment_ngram"))
     assert "CartesianProduct" not in plan
