@@ -216,3 +216,61 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.round(F.col("pcts")[i], 6).alias(n) for i, n in enumerate(names)],
         )
     )
+
+
+@register(
+    "audit_key_skew",
+    oracle="""
+WITH f AS (
+  SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         ROUND(AVG(c), 6) AS avg_key_rows,
+         ROUND(STDDEV_POP(c) / AVG(c), 6) AS cv
+  FROM f
+),
+top AS (
+  SELECT list(key ORDER BY c DESC, key ASC)[1:5] AS top_keys
+  FROM f
+)
+SELECT s.*, top.top_keys FROM s, top
+""",
+)
+def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnosis — the first thing to run when a 100 TB
+    join straggles: per-key row counts folded into distribution stats
+    (max/avg, coefficient of variation) plus the 5 heaviest keys. cv ≈ 0
+    means uniform hashing will balance; max_key_rows ≫ avg says those keys
+    need salting (``join_salted_skew``) or AQE skew-join splitting.
+
+    One keyed count (map-side combinable) + one scalar fold over the
+    per-key table + a 5-row TakeOrdered — nothing proportional to |rows|
+    ever reaches the driver."""
+    f = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count("*").alias("c"))
+    )
+    stats = f.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.avg("c"), 6).alias("avg_key_rows"),
+        F.round(F.stddev_pop("c") / F.avg("c"), 6).alias("cv"),
+    )
+    top = (
+        f.orderBy(F.col("c").desc(), F.col("key").asc())
+        .limit(5)  # TakeOrderedAndProject: 5 rows/partition reduced on driver
+        .agg(
+            # collect_list order is not contractual — re-sort the 5 survivors
+            # by (-count, key) inside the array for a deterministic result
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(CAST(-c AS BIGINT) AS negc, key))), s -> s.key)"
+            ).alias("top_keys")
+        )
+    )
+    return stats.crossJoin(F.broadcast(top))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
@@ -287,4 +287,45 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "a", "b")
         .limit(20)
+    )
+
+
+@register(
+    "text_entropy_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+f AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS token_entropy
+FROM f GROUP BY doc_id
+""",
+)
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per doc — the gibberish/boilerplate
+    detector quality pipelines pair with the rule-based scores: near-zero
+    entropy means one token repeated (spam/padding), unusually high means
+    token soup; both get filtered before training.
+
+    H = -Σ(c/T)·ln(c/T) computed via the algebraic identity
+    ln(T) - Σ c·ln(c) / T so the whole thing is ONE explode + one
+    (doc_id, tok) count + one per-doc aggregate — two keyed shuffles, both
+    map-side-combinable, no window pass (the naive per-token p·ln(p) needs
+    T joined back or a window). Both engines use the identical formula and
+    round to 6 dp before compare."""
+    t = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    f = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return f.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("token_entropy"),
     )

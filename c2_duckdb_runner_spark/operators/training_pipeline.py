@@ -585,3 +585,64 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("p").cast("double"), 6).alias("g"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         greatest(list_reduce(list_transform(v, x -> abs(x)),
+                              (a, b) -> greatest(a, b)), 1e-12) / 127 AS scale
+  FROM e
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS codes,
+       ROUND(sqrt(list_reduce(
+         list_transform(v, x -> (x - round(x / scale) * scale)
+                              * (x - round(x / scale) * scale)),
+         (a, b) -> a + b)), 6) AS recon_err
+FROM s
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings — the 4× memory cut that, with
+    PQ (simsearch_pq_assign), covers the two production ANN compression
+    schemes. Per vector: symmetric scale = max|x|/127, codes =
+    round(x/scale), plus the L2 reconstruction error that rerank budgets
+    are tuned against.
+
+    Entirely map-side higher-order functions (one scan, zero shuffle, no
+    UDF). Scale/error are doubles folded strictly left-to-right in BOTH
+    engines and rounded before compare; codes are integers, so the hash
+    check is exact."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    s = e.withColumn(
+        "scale",
+        F.expr(
+            "greatest(aggregate(transform(v, x -> abs(x)), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> greatest(a, b)), 1e-12d) / 127"
+        ),
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.expr(
+            "transform(v, x -> CAST(round(x / scale) AS INT))"
+        ).alias("codes"),
+        F.round(
+            F.expr(
+                "sqrt(aggregate(transform(v, x -> (x - round(x / scale) * scale)"
+                " * (x - round(x / scale) * scale)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+            ),
+            6,
+        ).alias("recon_err"),
+    )
