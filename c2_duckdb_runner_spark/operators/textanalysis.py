@@ -329,3 +329,64 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
         ).alias("token_entropy"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS a, t[i+1] AS b
+  FROM toks CROSS JOIN UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+c_ab AS (SELECT a, b, COUNT(*) AS nab FROM bg GROUP BY a, b),
+c_a AS (SELECT a, COUNT(*) AS na FROM bg GROUP BY a)
+SELECT bg.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(ln(c_ab.nab * 1.0 / c_a.na)) / COUNT(*), 6) AS avg_logprob
+FROM bg JOIN c_ab ON c_ab.a = bg.a AND c_ab.b = bg.b
+        JOIN c_a ON c_a.a = bg.a
+GROUP BY bg.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per doc — the perplexity-filter
+    stand-in (CCNet-style): train bigram counts ON the corpus itself in one
+    pass, then score each document by its mean ln P(b|a) = ln(c_ab/c_a).
+    Documents full of corpus-typical transitions score high; token soup and
+    boilerplate-with-rare-joins score low. With a real KenLM the UDF slot
+    changes; the join/aggregate shape below is exactly what survives.
+
+    Shape: one adjacent-pair explode (map-side arrays_zip, no self-join),
+    two grouped counts (the 'LM'), then the doc pairs re-join the two count
+    tables on their keys and fold per doc. Every shuffle is keyed on
+    bigram/unigram/doc_id; at 100 TB the count tables are the small side
+    (|vocab|², capped) and broadcast. Mean of ln values is rounded to 6 dp
+    on both engines before compare."""
+    toks = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    c_ab = bg.groupBy("a", "b").agg(F.count("*").alias("nab"))
+    c_a = bg.groupBy("a").agg(F.count("*").alias("na"))
+    return (
+        bg.join(c_ab, ["a", "b"])
+        .join(c_a, ["a"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("nab") * 1.0 / F.col("na"))) / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+    )
