@@ -10,9 +10,10 @@ DataFrame so the driver contract (``(spark, sf_dir) -> DataFrame``) holds.
 Determinism notes (what makes these oracle-checkable):
 - The file source gets a GLOB (``events*.parquet``): Spark 4's
   FileStreamSource rejects a bare file path ("basePath must be a directory").
-- ``events.ts`` is parquet TIMESTAMP(NANOS) → bigint under
-  ``nanosAsLong`` (see tables.load); converted to µs timestamps identically
-  to the batch path.
+- ``events.ts`` is parquet TIMESTAMP(NANOS) → TIMESTAMP_NTZ on this Spark
+  build (or bigint where ``nanosAsLong`` is honored); normalized to µs
+  TimestampType at the source, identically to the batch path
+  (``_events_stream``).
 - Append mode + watermark IS deterministic under availableNow: after the
   data batch, Spark runs a no-data batch that advances the watermark to
   max(ts) - delay and flushes every window with end <= watermark. The
@@ -567,3 +568,29 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@register("stream_tumbling_approx_users", oracle=None)
+def stream_tumbling_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches INSIDE streaming state: hourly tumbling windows carrying an
+    HLL approx-distinct of user_id alongside the exact row count. This is
+    the always-on dashboard shape at 100 TB/day — per-window distinct
+    users without ever holding the raw user set in state; the HLL partial
+    in each micro-batch merges into the window's sketch exactly like the
+    batch map-side combine. No oracle (HLL internals are engine-specific);
+    tests/test_streaming_extra.py pins each window's estimate against the
+    batch-exact distinct count at 5% rsd."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n",
+            "approx_users",
+        )
+    )
+    return _run_to_memory(spark, agg, "complete")
