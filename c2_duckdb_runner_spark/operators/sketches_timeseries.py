@@ -142,6 +142,12 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(merged)
 
 
+# NOTE: these two helpers run INSIDE the applyInPandas worker. Module-level
+# functions cloudpickle by REFERENCE, which would make every Python worker
+# import this package — broken for a consuming driver running from another
+# cwd. agg_countmin_freq therefore registers this module for pickle-BY-VALUE
+# before shipping the closure (same lesson as
+# sources/python_datasource._pickle_by_value).
 def _cms_parse(b: bytes):
     """Parse Spark's CountMinSketch binary (CountMinSketchImpl.writeTo):
     big-endian version(i32), totalCount(i64), depth(i32), width(i32),
@@ -207,7 +213,16 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps·N with prob ≥ confidence — pinned by tests/test_sketches.py
     against exact counts. Sketch internals are engine-specific (DuckDB has
     no CMS), so the oracle is rows-only."""
+    import sys
+
     import pandas as pd
+
+    try:  # ship this module by value inside the pickled closure (see NOTE)
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
 
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(

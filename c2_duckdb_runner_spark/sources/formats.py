@@ -356,3 +356,54 @@ def scan_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("profile.name").alias("name"),
         F.col("profile.bal").alias("bal"),
     )
+
+
+@register(
+    "scan_csv_quarantine",
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS n_good, CAST(3 AS BIGINT) AS n_quarantined,
+       CAST(360 AS BIGINT) AS good_qty_sum
+""",
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ingest quarantine: PERMISSIVE CSV parse with a
+    ``_corrupt_record`` column, splitting clean rows from malformed ones in
+    ONE pass — the per-ROW twin of the runner's per-FILE error isolation
+    (Tier A ``error_isolate_per_task``). At 100 TB this is how ingest keeps
+    running when 0.01% of a feed is garbage: good rows flow on, bad raw
+    lines land in a quarantine sink with full fidelity for replay.
+
+    The fixture file is deterministic (8 well-formed rows, 2 with a
+    non-integer qty, 1 with an overflowing extra column), so the oracle is
+    by-construction — literal expected counts; the differential proves
+    Spark's PERMISSIVE semantics route exactly the 3 bad rows to the
+    corrupt column. Plan: one scan, one projection-free aggregate; the
+    quarantine split is a codegen'd CASE, not a second read."""
+    path = _out(sf_dir, "quarantine_csv")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        lines = [f"id_{i},{(i + 1) * 10}" for i in range(8)]
+        lines.insert(3, "id_bad1,not_a_number")
+        lines.insert(6, "id_bad2,12.5x")
+        lines.append("id_bad3,55,overflow_extra_column")
+        with open(os.path.join(path, "feed.csv"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        with open(marker, "w") as fh:
+            fh.write("")
+    df = (
+        spark.read.schema("item string, qty int, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(os.path.join(path, "feed.csv"))
+        .cache()  # one scan feeds both branches of the split
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("qty"))).alias(
+            "good_qty_sum"
+        ),
+    )
