@@ -134,12 +134,15 @@ def simsearch_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENT = 8
 _N_PROBE = 2
 
-# per-centroid squared-L2 as an exact DECIMAL(26,18) fold (same discipline
-# as simsearch_kmeans_assign, so Spark's sequential fold == DuckDB's SUM)
+# per-centroid squared-L2 as a strictly LEFT-TO-RIGHT double fold. Unlike
+# simsearch_kmeans_assign (whose DuckDB twin uses an unordered SUM and so
+# needs DECIMAL for merge-order independence), this oracle folds with
+# list_reduce in the same element order — the doubles are bit-identical in
+# both engines, cell boundaries included, at ~5× less cost than
+# interpreted BigDecimal arithmetic in the hot HOF.
 _D2_FOLD = (
-    "aggregate(zip_with(v, c.cvec, (a, b) -> "
-    "CAST((a - b) * (a - b) AS DECIMAL(26,18))), "
-    "CAST(0 AS DECIMAL(26,18)), (acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
+    "aggregate(zip_with(v, c.cvec, (a, b) -> (a - b) * (a - b)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 )
 # all k (d2, c_id) pairs for one row, from the broadcast centroid array
 _CELL_SCORES = f"transform(cents, c -> struct({_D2_FOLD} AS d2, c.c_id AS c_id))"
@@ -154,10 +157,10 @@ c AS (SELECT vec_id AS c_id,
       FROM embeddings WHERE vec_id < {_N_CENT}),
 d2 AS (
   SELECT n.vec_id, c.c_id,
-         SUM(CAST((n.v[i] - c.cvec[i]) * (n.v[i] - c.cvec[i])
-                  AS DECIMAL(26,18))) AS d2
-  FROM n CROSS JOIN c CROSS JOIN UNNEST(range(1, 65)) AS t(i)
-  GROUP BY n.vec_id, c.c_id
+         list_reduce(list_transform(range(1, 65),
+                       i -> (n.v[i] - c.cvec[i]) * (n.v[i] - c.cvec[i])),
+                     (x, y) -> x + y) AS d2
+  FROM n CROSS JOIN c
 ),
 cell AS (
   SELECT vec_id, c_id AS cell FROM (
@@ -190,8 +193,9 @@ def simsearch_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     which must emit the assignment table), the probe-cell set rides the same
     broadcast row, and the final top-k is TakeOrderedAndProject. On a real
     cluster the candidate filter prunes ~(nprobe/k) of the corpus before
-    any cosine is computed. Distances are DECIMAL(26,18)-exact so cell
-    boundaries match DuckDB bit-for-bit."""
+    any cosine is computed. Distances fold left-to-right in double in BOTH
+    engines (aggregate ≙ list_reduce, same element order), so the values —
+    and therefore every cell boundary — are bit-identical."""
     e = (
         load(spark, sf_dir, "embeddings")
         .withColumn("v", F.expr(_V))
