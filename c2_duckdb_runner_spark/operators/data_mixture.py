@@ -148,22 +148,23 @@ _SUBSPACES, _SUBDIM, _CODEBOOK = 4, 16, 8
     "simsearch_pq_assign",
     oracle=f"""
 WITH c AS (
-  SELECT vec_id AS c_id, embedding AS cvec FROM embeddings WHERE vec_id < {_CODEBOOK}
+  SELECT vec_id AS c_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {_CODEBOOK}
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
 ), terms AS (
   SELECT e.vec_id, s.m, c.c_id,
-         SUM(CAST((CAST(e.embedding[s.m * {_SUBDIM} + i] AS DOUBLE)
-                   - CAST(c.cvec[s.m * {_SUBDIM} + i] AS DOUBLE))
-                  * (CAST(e.embedding[s.m * {_SUBDIM} + i] AS DOUBLE)
-                   - CAST(c.cvec[s.m * {_SUBDIM} + i] AS DOUBLE))
-                  AS DECIMAL(26,18))) AS d2
-  FROM embeddings e
+         list_reduce(list_transform(range(1, {_SUBDIM} + 1),
+             i -> (e.v[s.m * {_SUBDIM} + i] - c.cvec[s.m * {_SUBDIM} + i])
+                * (e.v[s.m * {_SUBDIM} + i] - c.cvec[s.m * {_SUBDIM} + i])),
+           (x, y) -> x + y) AS d2
+  FROM e
   CROSS JOIN c
   CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(m)
-  CROSS JOIN UNNEST(range(1, {_SUBDIM} + 1)) AS t(i)
-  GROUP BY e.vec_id, s.m, c.c_id
 )
-SELECT vec_id, m AS subspace, c_id AS code,
-       ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+SELECT vec_id, m AS subspace, c_id AS code, ROUND(d2, 6) AS dist2
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) rn
       FROM terms)
 WHERE rn = 1
@@ -176,14 +177,19 @@ def simsearch_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (vec_id, subspace, code) IS the PQ compression — 4 small ints
     replacing 64 floats, the memory step behind billion-scale ANN.
 
-    Codebooks broadcast; per-subspace squared-L2 folds into
-    DECIMAL(26,18) exactly (Spark's sequential zip_with fold equals
-    DuckDB's SUM bit-for-bit); the argmin is min-of-(d2, c_id)-struct —
+    Codebooks broadcast; per-subspace squared-L2 folds strictly
+    left-to-right in DOUBLE, with the oracle folding via list_reduce in
+    the same element order — bit-identical values in both engines, no
+    unordered SUM, no interpreted-BigDecimal tax (cf.
+    simsearch_ivf_multiprobe). The argmin is min-of-(d2, c_id)-struct —
     a map-side-combinable aggregate, not a window sort."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
     cent = F.broadcast(
         emb.filter(F.col("vec_id") < _CODEBOOK).select(
-            F.col("vec_id").alias("c_id"), F.col("embedding").alias("cvec")
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cvec")
         )
     )
     j = emb.crossJoin(cent)
@@ -191,14 +197,11 @@ def simsearch_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(_SUBSPACES):
         lo = m * _SUBDIM + 1
         term = (
-            f"zip_with(slice(embedding, {lo}, {_SUBDIM}), "
-            f"slice(cvec, {lo}, {_SUBDIM}), (a, b) -> "
-            "CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) "
-            "* (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS DECIMAL(26,18)))"
+            f"zip_with(slice(v, {lo}, {_SUBDIM}), "
+            f"slice(cvec, {lo}, {_SUBDIM}), (a, b) -> (a - b) * (a - b))"
         )
         fold = (
-            f"aggregate({term}, CAST(0 AS DECIMAL(26,18)), "
-            "(acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
+            f"aggregate({term}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         dist_cols.append(F.expr(fold).alias(f"d{m}"))
     j = j.select("vec_id", "c_id", *dist_cols)
@@ -215,7 +218,7 @@ def simsearch_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("m").alias("subspace"),
             F.col("best.c_id").alias("code"),
-            F.round(F.col("best.d2").cast("double"), 6).alias("dist2"),
+            F.round(F.col("best.d2"), 6).alias("dist2"),
         )
     )
 

@@ -157,18 +157,20 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simsearch_kmeans_assign",
     oracle="""
-WITH c AS (SELECT vec_id AS c_id, embedding AS cvec FROM embeddings
-           WHERE vec_id < 8),
+WITH c AS (SELECT vec_id AS c_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+           FROM embeddings WHERE vec_id < 8),
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
 terms AS (
   SELECT e.vec_id, c.c_id,
-         SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
-                  AS DECIMAL(26,18))) AS d2
-  FROM embeddings e CROSS JOIN c
-  CROSS JOIN UNNEST(range(1, len(e.embedding)+1)) AS t(i)
-  GROUP BY e.vec_id, c.c_id
+         list_reduce(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])),
+                     (x, y) -> x + y) AS d2
+  FROM e CROSS JOIN c
 )
-SELECT vec_id, c_id AS centroid_id, ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+SELECT vec_id, c_id AS centroid_id, ROUND(d2, 6) AS dist2
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) rn
       FROM terms)
 WHERE rn = 1
@@ -181,27 +183,28 @@ def simsearch_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the inner loop of IVF index training and embedding clustering.
     Centroids broadcast; each vector computes its k distances map-side via
-    a zip_with fold. Distances fold per-dimension squared diffs into
-    DECIMAL(26,18): exact, so Spark's sequential fold equals DuckDB's
-    aggregate SUM bit-for-bit and the (dist, centroid_id) argmin order is
-    total. The argmin is min-of-(d2, c_id)-struct — a map-side-combinable
-    aggregate (partial min per partition, one narrow shuffle of |corpus|
-    rows), NOT a window sort which would shuffle and sort all |corpus|×k
-    scored rows. Same pattern as simsearch_pq_assign."""
+    a zip_with fold. Distances fold strictly LEFT-TO-RIGHT in double, and
+    the oracle folds with list_reduce in the same element order — the
+    doubles are bit-identical in both engines (no unordered SUM anywhere),
+    so the (dist, centroid_id) argmin order is total without paying
+    interpreted-BigDecimal arithmetic in the hot lambda. The argmin is
+    min-of-(d2, c_id)-struct — a map-side-combinable aggregate (partial min
+    per partition, one narrow shuffle of |corpus| rows), NOT a window sort
+    which would shuffle and sort all |corpus|×k scored rows. Same pattern
+    as simsearch_pq_assign."""
     emb = load(spark, sf_dir, "embeddings")
     cent = F.broadcast(
         emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("c_id"), F.col("embedding").alias("cvec")
+            F.col("vec_id").alias("c_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cvec"),
         )
     )
-    term = (
-        "zip_with(embedding, cvec, (a, b) -> "
-        "CAST((CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) "
-        "* (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) AS DECIMAL(26,18)))"
+    emb = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     fold = (
-        f"aggregate({term}, CAST(0 AS DECIMAL(26,18)), "
-        "(acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
+        "aggregate(zip_with(v, cvec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     return (
         emb.crossJoin(cent)
@@ -211,7 +214,7 @@ def simsearch_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("best.c_id").alias("centroid_id"),
-            F.round(F.col("best.d2").cast("double"), 6).alias("dist2"),
+            F.round(F.col("best.d2"), 6).alias("dist2"),
         )
     )
 
