@@ -25,11 +25,13 @@ Scale notes (100 TB design point):
   closure — exponential in the worst case but exact, which is the point:
   the scalable rewrite is pinned against the textbook definition.
 - K-means assignment broadcasts the k centroid vectors and computes all
-  N×k distances map-side — zero shuffle until the per-vector argmin
-  (a row_number over k rows per vector). Distances accumulate per-dimension
-  squared diffs as exact DECIMAL(26,18) (a left-to-right fold in Spark, an
-  associative decimal SUM in DuckDB — exact arithmetic makes merge order
-  irrelevant), so the argmin tie-break (dist, centroid_id) is total.
+  N×k distances map-side — zero shuffle until the per-vector argmin (a
+  min-of-(d2, c_id)-struct aggregate). Distances fold per-dimension
+  squared diffs strictly left-to-right in DOUBLE, and the DuckDB oracles
+  fold with list_reduce in the same element order — bit-identical values
+  in both engines, so the argmin tie-break (dist, centroid_id) is total
+  with no interpreted-decimal cost. Only the centroid MEANS (unordered
+  group sums in both engines) still route through DECIMAL.
 - Packing and stratified sampling are single-window passes partitioned by
   the stratum key — one shuffle each, no global sort.
 - Contamination joins train shingles against the (small) benchmark shingle
@@ -345,9 +347,9 @@ _KM_ITERS = 3
 def _kmeans_oracle(iters: int = _KM_ITERS) -> str:
     """Unroll the Lloyd loop into DuckDB CTEs, one (distance → argmin →
     decimal-mean) block per iteration. Iterative algorithms are usually
-    rows-only; exact DECIMAL sums + identical IEEE double means make every
-    iteration bit-reproducible across engines, so the full training loop is
-    differentially checkable."""
+    rows-only; ordered double distance folds + exact DECIMAL mean sums make
+    every iteration bit-reproducible across engines, so the full training
+    loop is differentially checkable."""
     sql = """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
 cent_0 AS (SELECT vec_id AS c_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
            FROM embeddings WHERE vec_id < 8)"""
@@ -355,12 +357,11 @@ cent_0 AS (SELECT vec_id AS c_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
         sql += f""",
 dist_{t} AS (
   SELECT e.vec_id, c.c_id,
-         SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
-                  * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
-                  AS DECIMAL(26,18))) AS d2
-  FROM emb e CROSS JOIN cent_{t - 1} c
-  CROSS JOIN UNNEST(range(1, len(e.embedding)+1)) AS u(i)
-  GROUP BY e.vec_id, c.c_id),
+         list_reduce(list_transform(range(1, 65),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+           (x, y) -> x + y) AS d2
+  FROM emb e CROSS JOIN cent_{t - 1} c),
 asg_{t} AS (
   SELECT vec_id, c_id, d2 FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) rn
@@ -378,7 +379,7 @@ cent_{t} AS (
     GROUP BY a.c_id, u.i)
   GROUP BY c_id)"""
     sql += f"""
-SELECT vec_id, c_id AS centroid_id, ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+SELECT vec_id, c_id AS centroid_id, ROUND(d2, 6) AS dist2
 FROM asg_{iters + 1}
 """
     return sql
@@ -393,12 +394,16 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid set (k × dim doubles) broadcasts, and the only wide exchange
     per iteration is the (c_id, dim) mean aggregation.
 
-    Exactly oracle-checked despite being iterative: distances accumulate in
-    DECIMAL(26,18) (fold order irrelevant), means are exact-decimal sums
-    divided once in DOUBLE, and both engines start from identical float32
-    inputs — so every iteration, and therefore the fixpoint trajectory, is
-    bit-identical to the unrolled recursive SQL in DuckDB. Empty clusters
-    drop out of both sides identically (no rows → no centroid)."""
+    Exactly oracle-checked despite being iterative: distances fold strictly
+    left-to-right in double (oracle: list_reduce in the same element order
+    → bit-identical), centroid MEANS stay exact-decimal sums — group merge
+    order is nondeterministic in BOTH engines, so that one sum genuinely
+    needs order-independent arithmetic — divided once in DOUBLE, and both
+    engines start from identical float32 inputs. Every iteration, and
+    therefore the fixpoint trajectory, is bit-identical to the unrolled
+    recursive SQL in DuckDB. Empty clusters drop out of both sides
+    identically (no rows → no centroid). The per-iteration argmin is a
+    min-of-(d2, c_id)-struct aggregate, not a window sort."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("c_id"),
@@ -406,19 +411,21 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fold = (
         "aggregate(zip_with(embedding, cvec, (a, b) -> "
-        "CAST((CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b) "
-        "AS DECIMAL(26,18))), CAST(0 AS DECIMAL(26,18)), "
-        "(acc, x) -> CAST(acc + x AS DECIMAL(26,18)))"
+        "(CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "c_id")
 
     def assign(centroids: DataFrame) -> DataFrame:
         return (
             emb.crossJoin(F.broadcast(centroids))
             .select("vec_id", "c_id", F.expr(fold).alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c_id", "d2")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "c_id")).alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.c_id").alias("c_id"),
+                F.col("best.d2").alias("d2"),
+            )
         )
 
     for _ in range(_KM_ITERS):
@@ -446,7 +453,7 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(cent).select(
         "vec_id",
         F.col("c_id").alias("centroid_id"),
-        F.round(F.col("d2").cast("double"), 6).alias("dist2"),
+        F.round(F.col("d2"), 6).alias("dist2"),
     )
 
 
