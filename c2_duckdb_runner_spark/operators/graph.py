@@ -40,12 +40,20 @@ _EDGES_SQL = f"""
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = o.join(l, o.o_orderkey == l.l_orderkey).select(
-        "o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp")
+    # Dedup the (customer, supplier) pairs BEFORE symmetrizing: the forward
+    # and reverse key spaces are disjoint (supplier ids offset by 10M), so
+    # distinct-then-mirror equals mirror-then-distinct while shuffling |E|
+    # pairs instead of 2|E|.
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            "o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp")
+        )
+        .distinct()
     )
     fwd = pairs.select(F.col("o_custkey").alias("src"), F.col("supp").alias("dst"))
     rev = pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
-    return fwd.union(rev).distinct()
+    return fwd.union(rev)
 
 
 def _pagerank_oracle() -> str:

@@ -30,6 +30,13 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
+# Shuffle width is runtime-settable and matters for sessions we are handed
+# (an external driver's plain session defaults to 200 — far above its
+# cores, pure scheduling overhead at fixture scale, and localCheckpoint-ed
+# iterative loops materialize at that width where AQE can't re-plan them).
+# Pin it to the SESSION's own scheduler parallelism — the same sizing rule
+# get_spark() builds with, adapted to whatever session arrives.
+
 # NOTE on events.ts (parquet TIMESTAMP(NANOS)): on this Spark 4.1.2 build the
 # column loads as TIMESTAMP_NTZ and the `spark.sql.legacy.parquet.nanosAsLong`
 # conf is a no-op, so there is no session conf to pin here. The real guard is
@@ -44,7 +51,14 @@ def default_parallelism() -> int:
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Idempotently pin runtime confs on a session we may not have built."""
-    for k, v in _RUNTIME_CONFS.items():
+    confs = dict(_RUNTIME_CONFS)
+    try:
+        confs["spark.sql.shuffle.partitions"] = str(
+            spark.sparkContext.defaultParallelism
+        )
+    except Exception:
+        pass  # Connect-only session: no SparkContext handle — leave as-is
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
