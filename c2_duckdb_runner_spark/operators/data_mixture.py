@@ -295,3 +295,81 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1000000000 div freq")).cast("bigint").alias("rarity_micro"),
         )
     )
+
+
+# bucket (source number mod 4) -> fractional repeat factor (micro-units):
+# 1.0x, 1.5x, 2.25x, 3.0x epochs — the Llama/Gopher-style mixture where
+# high-quality domains are seen more than once per epoch.
+_UPSAMPLE_MICRO = [(0, 1_000_000), (1, 1_500_000), (2, 2_250_000), (3, 3_000_000)]
+
+
+@register(
+    "sample_upsample_epochs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         CAST(substring(source, 4) AS INTEGER) % 4 AS bucket,
+         CAST(('0x' || substring(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 5))
+              AS BIGINT) % 1000000 AS frac
+  FROM documents
+),
+w AS (SELECT * FROM (VALUES (0, 1000000), (1, 1500000), (2, 2250000),
+                            (3, 3000000)) AS t(bucket, micro)),
+r AS (
+  SELECT d.source, d.n_chars,
+         (w.micro // 1000000)
+           + CASE WHEN d.frac < (w.micro % 1000000) THEN 1 ELSE 0 END
+           AS n_copies
+  FROM d JOIN w ON d.bucket = w.bucket
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_copies) AS BIGINT) AS n_emitted,
+       CAST(SUM(n_copies * n_chars) AS BIGINT) AS emitted_chars
+FROM r GROUP BY source
+""",
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional UPsampling (epochs-per-domain): each source family gets a
+    repeat factor like 2.25× — every doc is emitted floor(f) times and one
+    extra copy with probability frac(f), decided by an md5-derived
+    per-doc fraction. Deterministic across runs/partitionings/engines (the
+    complement of sample_weighted_mixture, which only downsamples), this is
+    the Gopher/Llama-style mixture schedule where curated domains are seen
+    multiple times per training epoch.
+
+    Shape: broadcast 4-row factor relation joined in the scan stage; the
+    actual emission is explode(sequence(1, n_copies)) — map-only fan-out,
+    no shuffle until the reporting aggregate. The registered output is the
+    per-source emission accounting (docs, emitted rows, emitted chars) so
+    the check is compact; the exploded set itself is the intermediate."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.expr("CAST(substring(source, 4) AS INT)") % 4).alias("bucket"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('up:', CAST(doc_id AS STRING))), 1, 5), 16, 10) AS BIGINT)"
+            )
+            % 1_000_000
+        ).alias("frac"),
+    )
+    w = F.broadcast(
+        spark.createDataFrame(_UPSAMPLE_MICRO, "bucket int, micro bigint")
+    )
+    r = d.join(w, "bucket").select(
+        "source",
+        "n_chars",
+        (
+            F.expr("micro div 1000000")
+            + F.when(F.col("frac") < F.col("micro") % 1_000_000, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_copies").cast("bigint").alias("n_emitted"),
+        F.sum(F.col("n_copies") * F.col("n_chars")).cast("bigint").alias(
+            "emitted_chars"
+        ),
+    )
