@@ -223,3 +223,59 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_click_ms")).alias("click_ms"),
         (F.col("last_click_ms").isNotNull() & in_tol).alias("attributed"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle=(
+        "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS purchase_ms, "
+        "epoch_ms(c.ts) AS next_click_ms, "
+        "epoch_ms(c.ts) - epoch_ms(p.ts) AS gap_ms FROM "
+        "(SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events "
+        " WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN "
+        "(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events "
+        " WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts <= c.ts"
+    ),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every purchase, the user's next click at or
+    after it (time-to-next-engagement — the funnel-latency twin of the
+    backward ``join_asof``). Same 100 TB-safe composition: union both sides
+    tagged, ONE window pass per user ordered by (ts, side) carrying the
+    nearest following click time backward with first_value(ignorenulls)
+    over a current-row→following frame. Clicks sort AFTER purchases at
+    identical ts (side 0 < 1), matching the oracle's inclusive ``<=``.
+    Only the click TIME is taken, so same-ts click ties cannot produce
+    nondeterminism. DuckDB's native forward ASOF is the oracle."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    tagged = purchases.select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id",
+        F.lit(None).cast("timestamp").alias("cts"),
+    ).unionByName(
+        clicks.select(
+            "user_id", "ts", F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("cts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    joined = tagged.withColumn(
+        "next_click", F.first("cts", ignorenulls=True).over(w)
+    )
+    return joined.filter(F.col("side") == 0).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis("next_click").alias("next_click_ms"),
+        (F.unix_millis("next_click") - F.unix_millis("ts")).alias("gap_ms"),
+    )

@@ -274,3 +274,61 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.crossJoin(F.broadcast(top))
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle="""
+WITH mm AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  FROM lineitem
+),
+b AS (
+  SELECT l_returnflag,
+         CAST(least(floor((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 10)),
+                    9) AS INT) AS bucket
+  FROM lineitem, mm
+)
+SELECT b.l_returnflag, b.bucket,
+       ROUND(mm.lo + b.bucket * ((mm.hi - mm.lo) / 10), 6) AS lo_edge,
+       ROUND(mm.lo + (b.bucket + 1) * ((mm.hi - mm.lo) / 10), 6) AS hi_edge,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b, mm
+GROUP BY b.l_returnflag, b.bucket, mm.lo, mm.hi
+""",
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets) of extended price per return flag —
+    the distribution-profiling pass that sizes salting, bucket layouts, and
+    AQE skew thresholds before a big job runs.
+
+    Two scans total: a scalar min/max pre-pass broadcast to every task
+    (one row — the same broadcast-scalar shape as text_winsorize_lengths),
+    then one grouped count keyed on (flag, bucket) — ≤ |flags|×10 output
+    rows regardless of input size. Bucket index is pure double arithmetic
+    (floor((x-lo)/w) clamped to the top bucket) evaluated identically in
+    both engines, so the differential is exact; only the float EDGES are
+    rounded for display."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / 10
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / w), F.lit(9)
+            ).cast("int"),
+        )
+        .groupBy("l_returnflag", "bucket", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            "bucket",
+            F.round(F.col("lo") + F.col("bucket") * w, 6).alias("lo_edge"),
+            F.round(F.col("lo") + (F.col("bucket") + 1) * w, 6).alias("hi_edge"),
+            "n",
+        )
+    )
