@@ -110,15 +110,45 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)  # HLL sketches differ per engine
+@register(
+    "agg_approx_distinct",
+    oracle=(
+        # Accuracy-pinned boolean oracle: the two engines run *different* HLL
+        # implementations (Spark HLL++ vs DuckDB's sketch), so the raw approx
+        # counts are never byte-comparable. But both agree bit-for-bit on the
+        # VERDICT "my approx is within tolerance of my exact count" — each
+        # side checks its own sketch against the shared exact answer, and the
+        # exact count itself is hash-matched too. Tolerance 5×rsd (10%) is
+        # ~5 standard deviations of the HLL estimator: deterministic-pass for
+        # both engines, yet still a real accuracy gate.
+        "SELECT exact_users, "
+        "CAST(CASE WHEN ABS(CAST(approx_users AS DOUBLE) - exact_users) "
+        "<= 0.10 * exact_users THEN 1 ELSE 0 END AS INT) AS within_rsd "
+        "FROM (SELECT approx_count_distinct(user_id) AS approx_users, "
+        "COUNT(DISTINCT user_id) AS exact_users FROM events)"
+    ),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct (rsd 2%). No oracle: DuckDB's approx sketch is
-    a different HLL implementation — cross-engine equality is not defined.
-    tests/test_aggregates.py bounds the relative error against the exact
-    count instead."""
-    return load(spark, sf_dir, "events").agg(
+    """HyperLogLog++ distinct (rsd 2%), cross-engine checked via an
+    accuracy-pinned boolean: each engine asserts its own approx estimate is
+    within 5×rsd of the exact distinct count, so the hash compares the exact
+    count plus the (deterministically-true) verdict bit rather than two
+    incomparable sketches. tests/test_aggregates-style bound now lives in
+    the oracle itself."""
+    agg = load(spark, sf_dir, "events").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "exact_users",
+        F.when(
+            F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("within_rsd"),
     )
 
 

@@ -139,6 +139,155 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_EPS = 2_000_000  # micro-units: stop when max per-node change < 2.0 rank
+_MAX_ROUNDS = 14  # unroll depth; convergence lands ~round 11 at all sfs
+
+_DIRECTED_EDGES_SQL = f"""
+  SELECT DISTINCT o_custkey AS src, {_OFFSET} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _pagerank_converged_oracle() -> str:
+    """Unroll _MAX_ROUNDS freeze-on-convergence steps as a CTE chain.
+
+    Each round computes the candidate step s{i} and its scalar max-delta
+    d{i}; r{i} keeps r{i-1} unchanged once d{i} < eps. The freeze rule is
+    self-sustaining (a frozen round recomputes the same sub-eps delta), so
+    the chain's final table equals "iterate until converged or K rounds" —
+    exactly the Spark loop's early-exit semantics — and Σ(d{i} >= eps)
+    equals the number of rounds the loop actually advanced."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_DIRECTED_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, _MAX_ROUNDS + 1):
+        p = f"r{i-1}"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT n.id, CAST(150000 + (850 * (COALESCE(c.s, 0) "
+            f"+ dang.dm // nn.n)) // 1000 AS BIGINT) AS r "
+            "FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS id, SUM({p}.r // d.outdeg) AS s "
+            f"FROM edges e JOIN {p} ON {p}.id = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst) c ON c.id = n.id, "
+            f"(SELECT COALESCE(SUM(p.r), 0) AS dm FROM {p} p "
+            "LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL) dang, nn)"
+        )
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT MAX(ABS(s.r - p.r)) AS d "
+            f"FROM s{i} s JOIN {p} p ON s.id = p.id)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT s.id, CASE WHEN d{i}.d < {_EPS} THEN p.r "
+            f"ELSE s.r END AS r FROM s{i} s JOIN {p} p ON p.id = s.id, d{i})"
+        )
+    advanced = " + ".join(
+        f"(CASE WHEN d{i}.d >= {_EPS} THEN 1 ELSE 0 END)"
+        for i in range(1, _MAX_ROUNDS + 1)
+    )
+    froms = ", ".join(f"d{i}" for i in range(1, _MAX_ROUNDS + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT r{_MAX_ROUNDS}.id AS id, r{_MAX_ROUNDS}.r AS rank_micros, "
+        + f"CAST({advanced} AS INT) AS n_iters FROM r{_MAX_ROUNDS}, {froms}"
+    )
+
+
+@register("graph_pagerank_converged", oracle=_pagerank_converged_oracle())
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with BOTH completeness terms the fixed-3-round variant
+    documents away: dangling-mass redistribution and a convergence stop.
+
+    Graph: DIRECTED customer→supplier edges, so every supplier is a genuine
+    dangling node — its rank re-enters the system as a uniform per-node
+    share (dm // N) each round, keeping total mass from leaking. Loop:
+    advance while max per-node |Δr| >= eps, up to _MAX_ROUNDS; all
+    arithmetic in exact int64 micro-units so the stop decision — not just
+    the ranks — is bit-identical cross-engine (the oracle replays it as a
+    freeze-on-convergence CTE chain and also hash-checks n_iters).
+
+    Scale shape: edges pre-joined with out-degree once (persisted,
+    partitioned on src); per round one src-keyed join + one dst-keyed
+    groupBy shuffle + two scalar reduces (dangling mass, max-delta — bytes
+    to the driver, never rows); ranks localCheckpoint-ed so lineage stays
+    flat across a data-dependent number of rounds."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "src").repartition(32, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    # dangling node set is fixed (structure, not ranks): compute once
+    dang_ids = nodes.join(
+        deg, nodes.id == deg.src, "left_anti"
+    ).persist()
+    ranks = nodes.select(
+        "id", F.lit(1_000_000).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    n_iters = 0
+    for _ in range(_MAX_ROUNDS):
+        dm = (
+            ranks.join(dang_ids, "id").agg(F.sum("r").alias("dm")).collect()
+        )[0]["dm"] or 0
+        share = dm // n_nodes
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.id)
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        step = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(150_000)
+                    + F.expr(f"850 * (coalesce(s, 0L) + {share}) div 1000")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            step.alias("a")
+            .join(ranks.alias("b"), "id")
+            .agg(F.max(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
+            .collect()
+        )[0]["d"]
+        if delta < _EPS:
+            break
+        ranks = step
+        n_iters += 1
+    out = ranks.select(
+        "id",
+        F.col("r").alias("rank_micros"),
+        F.lit(n_iters).cast("int").alias("n_iters"),
+    )
+    for df in (edges, edges_deg, nodes, dang_ids):
+        df.unpersist()
+    return out
+
+
 @register(
     "graph_degree_distribution",
     oracle=f"""

@@ -85,18 +85,39 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and executors without this repo on sys.path can't deserialize it.
     has_pil = _HAS_PIL
 
+    # Real-decode dispatch keys on the PAYLOAD (magic bytes), not on library
+    # availability: installing Pillow must not change behavior for synthetic
+    # payloads, and a real image payload without Pillow falls back to the
+    # stub dimensions rather than failing the whole stage.
+    image_magics = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a")
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        def real_dims(payload: bytes):
+            if not has_pil or not payload.startswith(image_magics):
+                return None
+            try:
+                from PIL import Image
+
+                with Image.open(io.BytesIO(payload)) as img:
+                    return img.size  # (width, height)
+            except Exception:
+                return None  # corrupt/unsupported → stub path
+
         for pdf in batches:
-            if has_pil:
-                raise NotImplementedError(
-                    "real image decode not wired up; payloads are synthetic"
-                )
             # A real decoder is per-payload; the stub's "dimensions" need
             # only the byte length, so compute them vectorized over the
-            # whole Arrow batch.
+            # whole Arrow batch, then overwrite the (rare at fixture scale,
+            # dominant in production) rows whose payloads actually decode.
             n = pdf["payload"].map(len)
             width = (n % 509 + 16).astype("int32")
             height = (n % 353 + 16).astype("int32")
+            if has_pil:
+                for i, payload in enumerate(pdf["payload"]):
+                    dims = real_dims(bytes(payload))
+                    if dims is not None:
+                        width.iloc[i], height.iloc[i] = dims
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

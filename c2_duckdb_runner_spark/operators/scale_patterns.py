@@ -229,7 +229,8 @@ s AS (
          CAST(SUM(c) AS BIGINT) AS n_rows,
          CAST(MAX(c) AS BIGINT) AS max_key_rows,
          ROUND(AVG(c), 6) AS avg_key_rows,
-         ROUND(STDDEV_POP(c) / AVG(c), 6) AS cv
+         ROUND(sqrt(CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE))
+               / SUM(c), 6) AS cv
   FROM f
 ),
 top AS (
@@ -248,7 +249,12 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One keyed count (map-side combinable) + one scalar fold over the
     per-key table + a 5-row TakeOrdered — nothing proportional to |rows|
-    ever reaches the driver."""
+    ever reaches the driver. Determinism: cv is derived from EXACT integer
+    moments (n·Σc² − (Σc)² under one sqrt) instead of a streaming
+    STDDEV_POP whose Welford partial-merge order varies per engine/run —
+    both sides aggregate integers exactly and take sqrt of the same value.
+    (n·Σc² stays far inside int64 until Σc² ~ 9e18; at that corpus size
+    this audit would run per-partition anyway.)"""
     f = (
         load(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("key"))
@@ -259,7 +265,16 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_rows"),
         F.max("c").alias("max_key_rows"),
         F.round(F.avg("c"), 6).alias("avg_key_rows"),
-        F.round(F.stddev_pop("c") / F.avg("c"), 6).alias("cv"),
+        F.round(
+            F.sqrt(
+                (
+                    F.count("*") * F.sum(F.col("c") * F.col("c"))
+                    - F.sum("c") * F.sum("c")
+                ).cast("double")
+            )
+            / F.sum("c"),
+            6,
+        ).alias("cv"),
     )
     top = (
         f.orderBy(F.col("c").desc(), F.col("key").asc())

@@ -302,7 +302,11 @@ f AS (
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS token_entropy
+       ROUND(ln(SUM(c))
+             - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list(c ORDER BY tok), x -> x * ln(x))),
+                 (a, b) -> a + b)
+               / SUM(c), 6) AS token_entropy
 FROM f GROUP BY doc_id
 """,
 )
@@ -316,18 +320,40 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(T) - Σ c·ln(c) / T so the whole thing is ONE explode + one
     (doc_id, tok) count + one per-doc aggregate — two keyed shuffles, both
     map-side-combinable, no window pass (the naive per-token p·ln(p) needs
-    T joined back or a window). Both engines use the identical formula and
-    round to 6 dp before compare."""
+    T joined back or a window). Determinism: Σ c·ln(c) is NOT computed as a
+    floating SUM (partial-merge order varies by engine and run) but as a
+    left-to-right fold over the per-doc counts in token order —
+    ``aggregate`` ≙ ``list_reduce`` with a 0.0 seed, the same bit-identical
+    ordered-fold contract the simsearch distances use. Per-doc distinct
+    tokens are bounded by doc length, so the collected array is per-row
+    state, not corpus state — safe at 100 TB. Both engines round to 6 dp."""
     t = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     f = t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    return f.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.round(
-            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
-        ).alias("token_entropy"),
+    return (
+        f.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("tok"), F.col("c")))
+            ).alias("arr"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log("n_tokens")
+                - F.expr(
+                    "aggregate(arr, CAST(0.0 AS DOUBLE), "
+                    "(acc, s) -> acc + s.c * ln(s.c))"
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("token_entropy"),
+        )
     )
 
 
@@ -343,12 +369,16 @@ bg AS (
 ),
 c_ab AS (SELECT a, b, COUNT(*) AS nab FROM bg GROUP BY a, b),
 c_a AS (SELECT a, COUNT(*) AS na FROM bg GROUP BY a)
-SELECT bg.doc_id AS doc_id,
+SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(SUM(ln(c_ab.nab * 1.0 / c_a.na)) / COUNT(*), 6) AS avg_logprob
-FROM bg JOIN c_ab ON c_ab.a = bg.a AND c_ab.b = bg.b
-        JOIN c_a ON c_a.a = bg.a
-GROUP BY bg.doc_id
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lp ORDER BY lp)), (x, y) -> x + y)
+             / COUNT(*), 6) AS avg_logprob
+FROM (
+  SELECT bg.doc_id AS doc_id, ln(c_ab.nab * 1.0 / c_a.na) AS lp
+  FROM bg JOIN c_ab ON c_ab.a = bg.a AND c_ab.b = bg.b
+          JOIN c_a ON c_a.a = bg.a
+) GROUP BY doc_id
 """,
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,8 +393,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     two grouped counts (the 'LM'), then the doc pairs re-join the two count
     tables on their keys and fold per doc. Every shuffle is keyed on
     bigram/unigram/doc_id; at 100 TB the count tables are the small side
-    (|vocab|², capped) and broadcast. Mean of ln values is rounded to 6 dp
-    on both engines before compare."""
+    (|vocab|², capped) and broadcast. Determinism: the per-doc Σ ln(p) is a
+    value-sorted left-to-right fold (``aggregate`` ≙ ``list_reduce``, 0.0
+    seed), not a merge-order-dependent floating SUM; per-doc bigram counts
+    are bounded by doc length so the collected array is per-row state. Both
+    engines round the mean to 6 dp."""
     toks = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -382,11 +415,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bg.join(c_ab, ["a", "b"])
         .join(c_a, ["a"])
+        .select("doc_id", F.log(F.col("nab") * 1.0 / F.col("na")).alias("lp"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
+            F.sort_array(F.collect_list("lp")).alias("lps"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
             F.round(
-                F.sum(F.log(F.col("nab") * 1.0 / F.col("na"))) / F.count("*"), 6
+                F.expr(
+                    "aggregate(lps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+                / F.col("n_bigrams"),
+                6,
             ).alias("avg_logprob"),
         )
     )

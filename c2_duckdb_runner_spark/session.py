@@ -28,6 +28,12 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS). On the pinned 4.1.2 build this
+    # conf is a no-op (the column loads as TIMESTAMP_NTZ regardless), but on
+    # builds that reject nanos outright without it, setting it keeps the
+    # read alive so tables.load()'s bigint-nanos branch can normalize.
+    # Setting it is free either way, so pin it unconditionally.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Shuffle width is runtime-settable and matters for sessions we are handed
@@ -38,11 +44,11 @@ _RUNTIME_CONFS = {
 # get_spark() builds with, adapted to whatever session arrives.
 
 # NOTE on events.ts (parquet TIMESTAMP(NANOS)): on this Spark 4.1.2 build the
-# column loads as TIMESTAMP_NTZ and the `spark.sql.legacy.parquet.nanosAsLong`
-# conf is a no-op, so there is no session conf to pin here. The real guard is
-# the load-time normalization in tables.load() / streaming._events_stream,
-# which casts NTZ→TIMESTAMP (value-preserving under the pinned-UTC session)
-# or converts bigint nanos on builds where nanosAsLong IS honored.
+# column loads as TIMESTAMP_NTZ (nanosAsLong above is a no-op here). The real
+# guard is the load-time normalization in tables.load() /
+# streaming._events_stream, which casts NTZ→TIMESTAMP (value-preserving under
+# the pinned-UTC session) or converts bigint nanos on builds where
+# nanosAsLong IS honored.
 
 
 def default_parallelism() -> int:
@@ -53,9 +59,14 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Idempotently pin runtime confs on a session we may not have built."""
     confs = dict(_RUNTIME_CONFS)
     try:
-        confs["spark.sql.shuffle.partitions"] = str(
-            spark.sparkContext.defaultParallelism
-        )
+        # Resize shuffle width ONLY when the session still carries the stock
+        # default (200): that means nobody sized it, and 200 partitions on a
+        # 32-core local session is pure scheduling overhead. A deliberately
+        # configured width (driver or user) is respected as-is.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            confs["spark.sql.shuffle.partitions"] = str(
+                spark.sparkContext.defaultParallelism
+            )
     except Exception:
         pass  # Connect-only session: no SparkContext handle — leave as-is
     for k, v in confs.items():

@@ -396,7 +396,12 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(os.path.join(path, "feed.csv"))
-        .cache()  # one scan feeds both branches of the split
+        # LOAD-BEARING cache (SPARK-21610): queries that reference
+        # _corrupt_record through column pruning get inconsistent parse
+        # results (the extra-column row flips to "good") unless the parsed
+        # frame is materialized first. This is the documented workaround,
+        # not a perf hint; the cached footprint is the 12-line fixture.
+        .cache()
     )
     return df.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),

@@ -83,6 +83,42 @@ def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     return out
 
 
+def _run_to_parquet(
+    spark: SparkSession, df: DataFrame, tag: str, sf_dir: str
+) -> DataFrame:
+    """Drive an APPEND-mode stream through the transactional parquet sink
+    and read the committed output back.
+
+    The memory-sink drain (`_run_to_memory`) collects sink rows to the
+    driver, which is fine for aggregated outputs (bounded by window/key
+    cardinality) but wrong for streams whose output is O(|input|) — dedup
+    survivors, join matches. Those route here: rows land executor-side in
+    the file sink, the _spark_metadata log gives exactly-once read-back,
+    and nothing proportional to the corpus ever transits the driver."""
+    import shutil
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/c2spark_io/{sf_tag}/stream_drain_{tag}"
+    ckpt = f"{out_dir}_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_dir)
+
+
 # DuckDB twins work on epoch millis; events.ts is TIMESTAMP_NS there.
 _DUCK_MS = "epoch_ms(CAST(ts AS TIMESTAMP))"
 
@@ -220,14 +256,16 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type): first occurrence is emitted,
     later ones are dropped against the state store; the watermark bounds how
-    long the key state lives (dropDuplicatesWithinWatermark)."""
+    long the key state lives (dropDuplicatesWithinWatermark). Output is
+    O(distinct keys) — grows with the corpus — so the drain goes through
+    the transactional file sink, not the driver-side memory sink."""
     dedup = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_memory(spark, dedup, "append")
+    return _run_to_parquet(spark, dedup, "dedup", sf_dir)
 
 
 @register(
@@ -413,7 +451,9 @@ def stream_stream_interval_join(
         F.unix_millis("c_ts").alias("click_ms"),
         F.unix_millis("p_ts").alias("purchase_ms"),
     )
-    return _run_to_memory(spark, joined, "append")
+    # Match count is O(|clicks × matching purchases|) — input-proportional —
+    # so drain through the file sink, never the driver.
+    return _run_to_parquet(spark, joined, "interval_join", sf_dir)
 
 
 @register(

@@ -81,8 +81,9 @@ def test_stream_rows_pull_loop(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
-    """agg_approx_distinct is rows-only for the oracle (HLL internals are
-    engine-specific); pin its accuracy against the exact count instead.
+    """HLL internals are engine-specific, so agg_approx_distinct's oracle
+    compares an accuracy verdict bit rather than raw sketches; this test
+    independently pins the Spark estimate against the exact count.
     Default rsd is 5%; allow 3 sigma."""
     ev = load(spark, SF, "events")
     exact = ev.select("user_id").distinct().count()
@@ -255,3 +256,45 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_shard = len(glob.glob(f"/tmp/c2spark_io/{tag}/orders_shattered/part-*"))
     n_comp = len(glob.glob(f"/tmp/c2spark_io/{tag}/orders_compacted/part-*"))
     assert n_shard == 64 and n_comp == 4, (n_shard, n_comp)
+
+
+def test_mm_decode_stub_safe_with_and_without_pil(spark, sf_dir, monkeypatch):
+    """Installing Pillow must not change mm_decode_image_stub's output for
+    synthetic payloads: real-decode dispatch keys on magic bytes, which
+    UTF-8 text payloads never start with. Force both _HAS_PIL states and
+    assert identical results (and no NotImplementedError either way)."""
+    from c2_duckdb_runner_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
+    without = sorted(
+        map(tuple, mm.mm_decode_image_stub.__wrapped__(spark, sf_dir).collect())
+        if hasattr(mm.mm_decode_image_stub, "__wrapped__")
+        else map(tuple, mm.mm_decode_image_stub(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(mm, "_HAS_PIL", True)
+    with_pil = sorted(
+        map(tuple, mm.mm_decode_image_stub(spark, sf_dir).collect())
+    )
+    assert without == with_pil and len(without) > 0
+
+
+def test_pagerank_converged_actually_converges(spark, sf_dir):
+    """graph_pagerank_converged must stop on the eps criterion, not the
+    round cap: n_iters < _MAX_ROUNDS proves the convergence path ran, and
+    total mass (sum of ranks) stays within the damping fixed-point budget."""
+    import __spark_entry__ as entrymod
+    from c2_duckdb_runner_spark.operators import graph as g
+
+    rows = entrymod.queries()["graph_pagerank_converged"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    agg = rows.agg(
+        F.max("n_iters").alias("it"),
+        F.min("n_iters").alias("it2"),
+        F.count("*").alias("n"),
+        F.min("rank_micros").alias("rmin"),
+    ).collect()[0]
+    assert agg["it"] == agg["it2"], "n_iters must be a single scalar"
+    assert 0 < agg["it"] < g._MAX_ROUNDS, f"hit the round cap: {agg['it']}"
+    assert agg["rmin"] >= 150_000  # teleport floor
+    assert agg["n"] > 0
