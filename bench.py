@@ -95,6 +95,70 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_EVENTLOG_DIR = "/tmp/c2spark_bench_eventlog"
+
+
+def _stage_metrics_by_group(eventlog_dir: str) -> dict[str, dict[str, int]]:
+    """Attribute per-stage executor metrics to job groups from the event log.
+
+    The Spark event log is the stable public surface for stage-level
+    metrics (the AppStatusStore's py4j signature churns across versions).
+    JobStart events carry the ``spark.jobGroup.id`` property and the job's
+    stage ids; StageCompleted events carry the stage's aggregated internal
+    accumulators (shuffle bytes written / read, executor run time). Each
+    timed repeat runs under its own job group, so the reported metrics are
+    exactly the chosen repeat's — host CPU-steal moves wall-clock, but
+    shuffle BYTES are plan-determined, which is what makes a plan
+    regression separable from a noisy host."""
+    import glob
+
+    stage_group: dict[int, str] = {}
+    metrics: dict[str, dict[str, int]] = {}
+    # Compact keys keep the one-line JSON inside the driver's stdout-tail
+    # capture window (BENCH_r01 was lost to an oversized line):
+    # sw=shuffle bytes written, sr=shuffle bytes read, tt=executor task
+    # time ms, in=input bytes read.
+    wanted = {
+        "internal.metrics.shuffle.write.bytesWritten": "sw",
+        "internal.metrics.shuffle.read.localBytesRead": "sr",
+        "internal.metrics.shuffle.read.remoteBytesRead": "sr",
+        "internal.metrics.executorRunTime": "tt",
+        "internal.metrics.input.bytesRead": "in",
+    }
+    # Single-file logs sit flat in the dir; the v2 rolling format nests
+    # events_* files under an eventlog_v2_<appid>/ subdirectory (next to a
+    # binary appstatus_* snapshot, which the JSON-decode guard skips).
+    paths = [
+        p
+        for p in glob.glob(os.path.join(eventlog_dir, "**", "*"), recursive=True)
+        if not os.path.isdir(p)
+    ]
+    for path in sorted(paths):
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                    if group:
+                        for sid in ev.get("Stage IDs", []):
+                            stage_group[sid] = group
+                elif kind == "SparkListenerStageCompleted":
+                    info = ev.get("Stage Info", {})
+                    group = stage_group.get(info.get("Stage ID"))
+                    if group is None:
+                        continue
+                    acc = metrics.setdefault(group, {})
+                    for a in info.get("Accumulables", []):
+                        name = wanted.get(a.get("Name", ""))
+                        if name is not None and isinstance(a.get("Value"), int):
+                            acc[name] = acc.get(name, 0) + a["Value"]
+    return metrics
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -105,7 +169,10 @@ def main() -> None:
 
     # Build through the package factory so the timed path runs with the SAME
     # session-creation-time confs the tests and driver verify against
-    # (maxPartitionBytes, shuffle width, AQE, UTC timezone).
+    # (maxPartitionBytes, shuffle width, AQE, UTC timezone). NO event
+    # logging here: serializing per-task events costs sub-second queries up
+    # to 5x wall-clock (measured: agg_time_rollup 0.7s -> 4s), so metrics
+    # collection runs as a SEPARATE untimed pass after the timings.
     spark = session_mod.get_spark(app_name="c2-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -124,21 +191,23 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2: this host shows heavy external CPU-steal spikes (identical
-    # queries vary >10x minutes apart — see PERFORMANCE.md), and the first
-    # run also pays one-time plan compilation. min(2 runs) reports
-    # steady-state throughput, which is the quantity comparable to the
-    # reference's protocol.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Median-of-3: this host shows heavy external CPU-steal spikes
+    # (identical queries vary >10x minutes apart — see PERFORMANCE.md), and
+    # the first run also pays one-time plan compilation. The median damps
+    # both a one-off stall AND a suspiciously-fast fluke, unlike the
+    # previous min-of-2; per-repeat raw times are kept in the durable copy
+    # so the spread itself is auditable.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    raw_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for key in keys:
-        best = float("inf")
+        runs: list[float] = []
         try:
             for _ in range(repeats):
                 t0 = time.monotonic()
                 _materialize(qs[key](spark, sf_dir))
-                best = min(best, time.monotonic() - t0)
+                runs.append(time.monotonic() - t0)
         except Exception as exc:  # one broken query must not sink the run
             # Keep error strings SHORT (80 chars): the driver captures only a
             # stdout tail, and long errors previously pushed the JSON line
@@ -146,8 +215,9 @@ def main() -> None:
             errors[key] = str(exc).split("\n", 1)[0][:80]
             print(f"bench: {key} ERROR {errors[key]}", file=sys.stderr)
             continue
-        timings[key] = round(best, 3)
-        print(f"bench: {key} {timings[key]:.3f}s", file=sys.stderr)
+        timings[key] = round(sorted(runs)[len(runs) // 2], 3)
+        raw_times[key] = [round(t, 3) for t in runs]
+        print(f"bench: {key} {timings[key]:.3f}s {raw_times[key]}", file=sys.stderr)
         # drop operator-internal caches (e.g. LSH signature tables) so later
         # queries aren't taxed by earlier queries' resident memory
         spark.catalog.clearCache()
@@ -160,21 +230,77 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "cpus": int(cpus),
+        "repeats": repeats,
+        "stat": "median",
     }
     if errors:
         out["errors"] = errors
-    # Durable copy on disk (the driver's stdout capture is tail-limited).
+    spark.stop()
+
+    # --- untimed stage-metrics pass ------------------------------------
+    # Fresh session WITH event logging, one run per query under its own job
+    # group. Shuffle/input BYTES are plan-determined — identical whether
+    # the run is timed or not — so this pass pays the event-log tax where
+    # wall-clock doesn't matter, and the timings above stay clean. The
+    # metrics let a reader separate host CPU-steal (bytes steady, seconds
+    # spike) from a plan regression (bytes move).
+    full_metrics: dict[str, dict[str, int]] = {}
+    try:
+        import shutil
+
+        shutil.rmtree(_EVENTLOG_DIR, ignore_errors=True)
+        os.makedirs(_EVENTLOG_DIR, exist_ok=True)
+        mspark = session_mod.get_spark(
+            app_name="c2-spark-bench-metrics",
+            extra_confs={
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{_EVENTLOG_DIR}",
+                "spark.eventLog.compress": "false",
+            },
+        )
+        mspark.sparkContext.setLogLevel("ERROR")
+        for key in keys:
+            if key in errors:
+                continue
+            try:
+                mspark.sparkContext.setJobGroup(key, key)
+                _materialize(qs[key](mspark, sf_dir))
+            except Exception:
+                continue
+            finally:
+                mspark.sparkContext.setJobGroup("", "")
+            mspark.catalog.clearCache()
+        mspark.stop()  # flushes + finalizes the event log
+        full_metrics = _stage_metrics_by_group(_EVENTLOG_DIR)
+        # stdout line stays lean (driver capture is tail-limited): shuffle
+        # write bytes (plan-determined — THE plan-regression signal) and
+        # executor task ms per query. Full sw/sr/tt/in set + raw repeat
+        # times live in the committed BENCH_local.json.
+        out["stage_metrics_legend"] = (
+            "untimed metrics pass: sw=shuffle bytes written, tt=executor task ms"
+        )
+        out["stage_metrics"] = {
+            k: {m: v[m] for m in ("sw", "tt") if m in v}
+            for k, v in full_metrics.items()
+            if k in timings
+        }
+    except Exception as exc:  # metrics are additive evidence, never fatal
+        print(f"bench: stage metrics unavailable: {exc}", file=sys.stderr)
+    # Durable copy on disk (the driver's stdout capture is tail-limited);
+    # carries the per-repeat raw wall-clocks and full stage metrics the
+    # one-line JSON omits.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
             "w",
         ) as fh:
-            json.dump(out, fh)
+            json.dump(
+                {**out, "raw_times": raw_times, "stage_metrics": full_metrics},
+                fh,
+                indent=1,
+            )
     except OSError:
         pass
-    # Stop Spark BEFORE printing so no shutdown logging can land after the
-    # JSON line — it must be the very last stdout line.
-    spark.stop()
     print(json.dumps(out), flush=True)
 
 

@@ -327,13 +327,24 @@ SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the co-supplier graph (suppliers linked when
     they serve the same order — the bipartite projection that precedes
-    most graph analytics on transactional data). Edges are canonicalized
-    s1 < s2 so each triangle is counted exactly once by the two-hop
-    path + closing-edge join — the standard distributed formulation:
-    two |E|-keyed hash joins, no per-node adjacency materialization.
-    Skew note for 100 TB: the projection dedups (order, supplier) pairs
-    BEFORE pairing, and hub suppliers fan out in the path join — the
-    place to salt if a supplier serves a large share of orders."""
+    most graph analytics on transactional data), via DEGREE-ORIENTED
+    wedge counting (node-iterator++): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate wedges
+    only from each vertex's out-edges, and close them against the
+    oriented edge set.
+
+    Why orient: the naive two-hop self-join keys wedges on the SHARED
+    vertex, so a hub supplier of degree d contributes d² candidate rows
+    to one shuffle key — the skew ceiling the round-2 audit flagged.
+    Under degree orientation every out-degree is ≤ √(2|E|) (a vertex with
+    out-degree k has k higher-degree neighbors, so Σdeg ≥ k² ⇒ k ≤
+    √(2|E|)), which bounds the heaviest wedge key's expansion at O(|E|)
+    TOTAL instead of O(hub²) on one key — the standard scale-out triangle
+    formulation. Each triangle has a unique minimum-rank vertex and is
+    counted exactly once as its wedge + closing edge. The oracle keeps
+    the naive canonical-pair form; the hash match proves the orientation
+    rewrite is equivalent. tests/test_properties.py pins the √(2|E|)
+    out-degree bound on the oriented set."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -346,15 +357,57 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
         )
         .distinct()
-        .localCheckpoint(eager=True)  # reused 3x below; cut the join lineage
+        .localCheckpoint(eager=True)  # reused below; cut the join lineage
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
-        .join(
-            e3,
-            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+    deg = (
+        pairs.select(F.col("s1").alias("v"))
+        .union(pairs.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # Orient each edge toward the higher (degree, id) endpoint; carry the
+    # dst's rank so wedge ordering needs no further join.
+    oriented = (
+        pairs.join(deg.withColumnRenamed("v", "s1").withColumnRenamed("d", "d1"), "s1")
+        .join(deg.withColumnRenamed("v", "s2").withColumnRenamed("d", "d2"), "s2")
+        .select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.struct(
+                    F.col("s1").alias("src"),
+                    F.col("s2").alias("dst"),
+                    F.col("d2").alias("ddst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("s2").alias("src"),
+                    F.col("s1").alias("dst"),
+                    F.col("d1").alias("ddst"),
+                )
+            )
+            .alias("e")
         )
-        .agg(F.count("*").alias("n_triangles"))
+        .select("e.src", "e.dst", "e.ddst")
+        .localCheckpoint(eager=True)  # feeds wedge join twice + closing join
     )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddst") < F.col("o2.ddst"))
+            | (
+                (F.col("o1.ddst") == F.col("o2.ddst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
+    tri = wedges.join(
+        oriented.select(
+            F.col("src").alias("x"), F.col("dst").alias("y")
+        ),
+        ["x", "y"],
+    ).agg(F.count("*").alias("n_triangles"))
     return pairs.agg(F.count("*").alias("n_edges")).crossJoin(tri)

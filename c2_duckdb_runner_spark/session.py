@@ -77,7 +77,11 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "c2-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "c2-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) a session sized like the reference's default run.
 
     ``Env_jobs`` default 32 (``main.cc:376-385``) ≈ ``local[32]`` here; on a
@@ -98,5 +102,7 @@ def get_spark(app_name: str = "c2-spark", master: str | None = None) -> SparkSes
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     return apply_runtime_confs(builder.getOrCreate())

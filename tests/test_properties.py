@@ -298,3 +298,60 @@ def test_pagerank_converged_actually_converges(spark, sf_dir):
     assert 0 < agg["it"] < g._MAX_ROUNDS, f"hit the round cap: {agg['it']}"
     assert agg["rmin"] >= 150_000  # teleport floor
     assert agg["n"] > 0
+
+
+def test_triangle_orientation_bounds_outdegree(spark, sf_dir):
+    """The degree-oriented edge set behind graph_triangle_count must keep
+    every out-degree within the sqrt(2|E|) bound — the property that caps
+    the wedge join's heaviest shuffle key."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from c2_duckdb_runner_spark.tables import load
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("s1").alias("v"))
+        .union(pairs.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    oriented_src = (
+        pairs.join(deg.withColumnRenamed("v", "s1").withColumnRenamed("d", "d1"), "s1")
+        .join(deg.withColumnRenamed("v", "s2").withColumnRenamed("d", "d2"), "s2")
+        .select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.col("s1"),
+            )
+            .otherwise(F.col("s2"))
+            .alias("src")
+        )
+    )
+    row = oriented_src.groupBy("src").agg(F.count("*").alias("k")).agg(
+        F.max("k").alias("max_out")
+    ).collect()[0]
+    n_edges = pairs.count()
+    naive_max = deg.agg(F.max("d").alias("m")).collect()[0]["m"]
+    bound = math.isqrt(2 * n_edges) + 1
+    assert row["max_out"] <= bound, (row["max_out"], bound)
+    # orientation never makes the heaviest key worse than the naive
+    # shared-vertex key (strict improvement needs hubbier graphs than the
+    # smallest fixture provides)
+    assert row["max_out"] <= naive_max, (row["max_out"], naive_max)
