@@ -373,3 +373,74 @@ def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emitted_chars"
         ),
     )
+
+
+_MIX_TEMP = 0.7  # temperature < 1 flattens toward uniform (XLM-R style)
+
+
+@register(
+    "mixture_temperature_reweight",
+    oracle=f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, n_docs, n_chars,
+         exp(ln(n_docs * 1.0 / (SELECT SUM(n_docs) FROM c)) / {_MIX_TEMP}) AS u
+  FROM c
+),
+z AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(u ORDER BY source)), (a, b) -> a + b) AS z
+  FROM t
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(n_docs * 1.0 / (SELECT SUM(n_docs) FROM c), 6) AS p_raw,
+       ROUND(u / z.z, 6) AS p_temp
+FROM t, z
+""",
+)
+def mixture_temperature_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the XLM-R / mT5 schedule):
+    p_temp(d) ∝ p_raw(d)^(1/T) with T < 1 boosting low-resource domains.
+    This is the step that TURNS corpus counts INTO the sampling config
+    `sample_weighted_mixture` consumes.
+
+    Shape: one per-domain count (map-side combinable), then scalar
+    normalizers over the handful of domain rows — nothing here scales with
+    |docs| after the first aggregate. p^(1/T) is computed as exp(ln(p)/T)
+    identically in both engines and rounded to 6 dp (same libm-ULP
+    discipline as the rarity/logprob scores). The sum-of-u normalizer is a
+    source-ordered left-to-right fold (``aggregate`` ≙ ``list_reduce``) —
+    cheap at domain cardinality, and it keeps even this tiny float sum
+    merge-order-free."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    tot = c.agg(F.sum("n_docs").alias("tot"))
+    t = c.crossJoin(F.broadcast(tot)).withColumn(
+        "u", F.exp(F.log(F.col("n_docs") * 1.0 / F.col("tot")) / _MIX_TEMP)
+    )
+    z = t.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, u))), "
+            "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.u)"
+        ).alias("z")
+    )
+    return (
+        t.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_chars",
+            F.round(F.col("n_docs") * 1.0 / F.col("tot"), 6).alias("p_raw"),
+            F.round(F.col("u") / F.col("z"), 6).alias("p_temp"),
+        )
+    )

@@ -326,3 +326,30 @@ def simsearch_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", "cos", "rn")
     )
+
+
+_RANGE_TAU = 0.25
+
+
+@register(
+    "simsearch_range_threshold",
+    oracle=f"""
+WITH {_DUCK_BASE}
+SELECT n.vec_id AS vec_id, n.label AS label, {_DUCK_COS} AS cos
+FROM n, q
+WHERE n.vec_id <> 1 AND {_DUCK_COS} >= {_RANGE_TAU}
+""",
+)
+def simsearch_range_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query — the other half of the ANN API next to top-k: ALL
+    neighbors with cosine >= tau, unbounded result size (faiss
+    range_search). Same zero-corpus-shuffle shape as the brute-force
+    scorer: query vector broadcast, cosine folded left-to-right map-side,
+    and the tau filter replaces TakeOrdered — no sort, no limit, fully
+    parallel emit. The dedup-by-similarity pipeline (drop everything
+    within tau of a kept doc) is this plan with the keeper set broadcast."""
+    return (
+        _scored(spark, sf_dir)
+        .filter((F.col("vec_id") != _QUERY_ID) & (F.col("cos") >= _RANGE_TAU))
+        .select("vec_id", "label", "cos")
+    )

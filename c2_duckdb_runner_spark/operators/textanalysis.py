@@ -433,3 +433,109 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- BPE merge application (the encode side of bpe_pair_counts) -----------
+
+# Ranked merge table (the artifact bpe_pair_counts trains): applied in rank
+# order, each merge rewriting the token stream before the next sees it —
+# exactly how a BPE tokenizer consumes its merges file. Pairs are a != b,
+# which makes each round ORDER-FREE: a match at i requires t[i]=a, t[i+1]=b,
+# so two matches can never overlap (t[i+1] would have to be both a and b),
+# and greedy left-to-right equals "take every match" — one pure map over
+# positions, no sequential fold, no Python. (Equal-token pairs like
+# ("the","the") need run-parity handling and are deliberately excluded;
+# production merge tables rarely rank them first.)
+_BPE_MERGES = [
+    ("table", "hash"),
+    ("part", "filter"),
+    ("slow", "key"),
+    ("merge", "group"),
+]
+
+
+def _bpe_round_spark(arr: str, a: str, b: str) -> str:
+    m = f"{a}_{b}"
+    return (
+        f"filter(transform(sequence(1, size({arr})), i -> "
+        f"CASE WHEN element_at({arr}, i) = '{a}' AND i < size({arr}) "
+        f"AND element_at({arr}, i + 1) = '{b}' THEN '{m}' "
+        f"WHEN i > 1 AND element_at({arr}, i - 1) = '{a}' "
+        f"AND element_at({arr}, i) = '{b}' THEN NULL "
+        f"ELSE element_at({arr}, i) END), x -> x IS NOT NULL)"
+    )
+
+
+def _bpe_round_duck(arr: str, a: str, b: str) -> str:
+    m = f"{a}_{b}"
+    return (
+        f"list_filter(list_transform(range(1, len({arr}) + 1), i -> "
+        f"CASE WHEN {arr}[i] = '{a}' AND i < len({arr}) "
+        f"AND {arr}[i + 1] = '{b}' THEN '{m}' "
+        f"WHEN i > 1 AND {arr}[i - 1] = '{a}' "
+        f"AND {arr}[i] = '{b}' THEN NULL "
+        f"ELSE {arr}[i] END), x -> x IS NOT NULL)"
+    )
+
+
+def _bpe_chain_duck_ctes() -> str:
+    """Chained MATERIALIZED CTEs, one per merge round. Nesting rounds as a
+    single expression would copy the inner round ~6x per level (each round
+    references its input array six times) — a 6^k textual/compute blowup;
+    per-round materialization keeps both engines linear in k."""
+    ctes = ["t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS m0 FROM documents)"]
+    for r, (a, b) in enumerate(_BPE_MERGES, start=1):
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT doc_id, "
+            f"{_bpe_round_duck(f'm{r-1}', a, b)} AS m{r} FROM s{r-1})"
+            if r > 1
+            else f"s1 AS MATERIALIZED (SELECT doc_id, "
+            f"{_bpe_round_duck('m0', a, b)} AS m1 FROM t)"
+        )
+    return ",\n".join(ctes)
+
+
+_BPE_K = len(_BPE_MERGES)
+
+
+@register(
+    "bpe_apply_merges",
+    oracle=f"""
+WITH {_bpe_chain_duck_ctes()},
+n0 AS (SELECT doc_id, len(m0) AS n_before FROM t)
+SELECT s.doc_id AS doc_id, CAST(n0.n_before AS BIGINT) AS n_before,
+       CAST(len(s.m{_BPE_K}) AS BIGINT) AS n_after,
+       CAST(n0.n_before - len(s.m{_BPE_K}) AS BIGINT) AS n_merged,
+       array_to_string(s.m{_BPE_K}[1:8], ' ') AS head_tokens
+FROM s{_BPE_K} s JOIN n0 ON n0.doc_id = s.doc_id
+""",
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE step: apply the ranked BPE merge table to every
+    document — the map that turns a trained merges file
+    (``bpe_pair_counts``) into tokenized training data.
+
+    Scale shape: zero shuffle — k merge rounds are k successive map-only
+    array rewrites (at production vocab sizes the table would broadcast
+    and the rounds run inside a pandas UDF; same topology). Each round is
+    exact in both engines because a != b makes greedy left-to-right
+    merging order-free: a match at i needs t[i]=a, t[i+1]=b, so matches
+    can never overlap and "take every match" equals the sequential scan.
+    Rounds are materialized one per projection/CTE — nesting them into a
+    single expression would duplicate the inner round ~6x per level (6^k
+    codegen blowup, measured as a 4.7 MiB task binary at k=4). The oracle
+    replays the identical chain; n_before/n_after/n_merged and the head
+    of each tokenized doc are hash-compared."""
+    df = load_spread(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.split("text", " ").alias("m0")
+    )
+    for r, (a, b) in enumerate(_BPE_MERGES, start=1):
+        df = df.withColumn(f"m{r}", F.expr(_bpe_round_spark(f"m{r-1}", a, b)))
+    last = f"m{_BPE_K}"
+    return df.select(
+        "doc_id",
+        F.size("m0").cast("bigint").alias("n_before"),
+        F.size(last).cast("bigint").alias("n_after"),
+        (F.size("m0") - F.size(last)).cast("bigint").alias("n_merged"),
+        F.array_join(F.slice(last, 1, 8), " ").alias("head_tokens"),
+    )

@@ -656,3 +656,80 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_err"),
     )
+
+
+@register(
+    "embed_center_whiten",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+x AS (
+  SELECT i, v[i] AS x FROM e CROSS JOIN UNNEST(range(1, len(v) + 1)) AS u(i)
+),
+st AS (
+  SELECT i,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(greatest(
+           CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*))
+           * (CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)),
+           1e-24)) AS sd
+  FROM x GROUP BY i
+),
+b AS (
+  SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds FROM st
+)
+SELECT e.vec_id AS vec_id,
+       list_transform(range(1, len(e.v) + 1),
+                      i -> round((e.v[i] - b.mus[i]) / b.sds[i], 6)) AS z
+FROM e, b
+""",
+)
+def embed_center_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization of the embedding corpus (z-scoring /
+    diagonal whitening) — the normalization step before ABTT-style
+    postprocessing, cosine-vs-dot alignment, or covariance-shift checks.
+
+    Scale shape: one explode → per-dimension (d=64 keys) decimal-exact
+    moment aggregate (map-side combinable; the shuffle carries d rows per
+    partition), stats collapse into ONE broadcast row of (mu[], sd[])
+    arrays, and the z-transform is a map-only higher-order function over
+    the corpus — the corpus itself never shuffles. Determinism: component
+    sums and sum-of-squares route through DECIMAL(30,12) (exact, merge-
+    order-free, same contract as embed_gram_matrix), mean/variance/sd are
+    then identical double expressions in both engines, and z-scores round
+    to 6 dp."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    x = e.select(F.posexplode("v").alias("i0", "x")).select(
+        (F.col("i0") + 1).alias("i"), "x"
+    )
+    mu = F.sum(F.col("x").cast("decimal(30,12)")).cast("double") / F.count("*")
+    ex2 = (
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).cast("double")
+        / F.count("*")
+    )
+    st = x.groupBy("i").agg(
+        mu.alias("mu"),
+        F.sqrt(F.greatest(ex2 - mu * mu, F.lit(1e-24))).alias("sd"),
+    )
+    b = st.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mu, sd))), s -> s.mu)"
+        ).alias("mus"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mu, sd))), s -> s.sd)"
+        ).alias("sds"),
+    )
+    return e.crossJoin(F.broadcast(b)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, size(v)), i -> "
+            "round((element_at(v, i) - element_at(mus, i)) "
+            "/ element_at(sds, i), 6))"
+        ).alias("z"),
+    )
