@@ -470,3 +470,42 @@ def test_nested_struct_pruning_reads_only_leaves(q):
     assert "seg" not in s and "nat" not in s, s
     fs = pi.pushed_filters(df)
     assert any("bal" in f for f in fs), fs
+
+
+def test_bpe_apply_no_shuffle(q):
+    """Tokenizer encode is k map-only rounds: the only exchange allowed is
+    load_spread's fixture-parallelism repartition (a no-op on production
+    layouts), and the plan must stay small (nesting the rounds into one
+    expression was a measured 4.7 MiB task-binary blowup — materialized
+    rounds keep it linear)."""
+    df = q("bpe_apply_merges")
+    assert pi.shuffle_count(df) <= 1
+    plan = pi.formatted_plan(df)
+    assert len(plan) < 200_000, f"plan text ballooned: {len(plan)} chars"
+
+
+def test_center_whiten_corpus_never_shuffles(q):
+    """Whitening: the only exchanges allowed are the d-row stats aggregate
+    and its 1-row collapse — the corpus side reaches the transform through
+    a broadcast join, never an exchange of |V| rows."""
+    df = q("embed_center_whiten")
+    assert pi.broadcast_join_count(df) >= 1
+    # stats path: explode-agg (1 exchange) + collect-to-one-row (1 exchange)
+    assert pi.shuffle_count(df) <= 2, pi.formatted_plan(df)[:800]
+
+
+def test_range_threshold_no_sort_no_shuffle(q):
+    """ANN range query: broadcast probe, map-side filter — no TakeOrdered,
+    no global sort, no corpus exchange."""
+    df = q("simsearch_range_threshold")
+    plan = pi.formatted_plan(df)
+    assert pi.shuffle_count(df) == 0
+    assert "TakeOrderedAndProject" not in plan and "Sort " not in plan
+
+
+def test_mode_exact_two_chained_aggs(q):
+    """Mode = two hash aggregates, two exchanges, no Window operator."""
+    df = q("agg_mode_exact")
+    plan = pi.formatted_plan(df)
+    assert pi.shuffle_count(df) == 2, plan[:500]
+    assert "Window" not in plan
