@@ -328,23 +328,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the co-supplier graph (suppliers linked when
     they serve the same order — the bipartite projection that precedes
     most graph analytics on transactional data), via DEGREE-ORIENTED
-    wedge counting (node-iterator++): orient every undirected edge from
-    its lower-(degree, id) endpoint to the higher one, enumerate wedges
-    only from each vertex's out-edges, and close them against the
-    oriented edge set.
+    adjacency intersection (node-iterator++): orient every undirected
+    edge from its lower-(degree, id) endpoint to the higher one, build
+    per-vertex out-neighbor arrays, and count each base edge's
+    |out(u) ∩ out(v)|.
 
     Why orient: the naive two-hop self-join keys wedges on the SHARED
     vertex, so a hub supplier of degree d contributes d² candidate rows
     to one shuffle key — the skew ceiling the round-2 audit flagged.
     Under degree orientation every out-degree is ≤ √(2|E|) (a vertex with
     out-degree k has k higher-degree neighbors, so Σdeg ≥ k² ⇒ k ≤
-    √(2|E|)), which bounds the heaviest wedge key's expansion at O(|E|)
-    TOTAL instead of O(hub²) on one key — the standard scale-out triangle
-    formulation. Each triangle has a unique minimum-rank vertex and is
-    counted exactly once as its wedge + closing edge. The oracle keeps
-    the naive canonical-pair form; the hash match proves the orientation
-    rewrite is equivalent. tests/test_properties.py pins the √(2|E|)
-    out-degree bound on the oriented set."""
+    √(2|E|)). Why intersect instead of joining wedges: even bounded,
+    Σ outdeg² wedge ROWS materialized through a join is ~n³ on a dense
+    graph (measured OOM at sf0.1 / 1 GiB heap); the intersection does the
+    same O(|E|·√|E|) work as per-row streaming over two √(2|E|)-bounded
+    arrays — compute, not state. Each triangle {a<b<c in rank order} has
+    oriented edges a→b, a→c, b→c and is counted exactly once, at base
+    edge (a,b), as c ∈ out(a)∩out(b). The oracle keeps the naive
+    canonical-pair form; the hash match proves the rewrite equivalent.
+    tests/test_properties.py pins the √(2|E|) out-degree bound."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -365,8 +367,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    # Orient each edge toward the higher (degree, id) endpoint; carry the
-    # dst's rank so wedge ordering needs no further join.
+    # Orient each edge toward the higher (degree, id) endpoint.
     oriented = (
         pairs.join(deg.withColumnRenamed("v", "s1").withColumnRenamed("d", "d1"), "s1")
         .join(deg.withColumnRenamed("v", "s2").withColumnRenamed("d", "d2"), "s2")
@@ -374,40 +375,45 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("d1") < F.col("d2"))
                 | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
-                F.struct(
-                    F.col("s1").alias("src"),
-                    F.col("s2").alias("dst"),
-                    F.col("d2").alias("ddst"),
-                ),
+                F.struct(F.col("s1").alias("src"), F.col("s2").alias("dst")),
             )
             .otherwise(
-                F.struct(
-                    F.col("s2").alias("src"),
-                    F.col("s1").alias("dst"),
-                    F.col("d1").alias("ddst"),
-                )
+                F.struct(F.col("s2").alias("src"), F.col("s1").alias("dst"))
             )
             .alias("e")
         )
-        .select("e.src", "e.dst", "e.ddst")
-        .localCheckpoint(eager=True)  # feeds wedge join twice + closing join
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)  # feeds adjacency build + base edges
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (
-            (F.col("o1.ddst") < F.col("o2.ddst"))
-            | (
-                (F.col("o1.ddst") == F.col("o2.ddst"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
+    # Count via adjacency-list intersection, NOT an explicit wedge join:
+    # materializing the Σ outdeg² wedge rows through a join is ~n³ rows on
+    # a dense graph (measured: OOM at sf0.1 on a 1 GiB-heap session). Each
+    # triangle {a<b<c in rank order} is counted exactly once at its base
+    # edge (a,b) as |out(a) ∩ out(b)| — per-edge streaming work over two
+    # √(2|E|)-bounded arrays, nothing quadratic ever lands in memory.
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nb")
+    )
+    edges_nb = (
+        oriented.select("src", "dst")
+        .join(adj.withColumnRenamed("src", "u"), F.col("src") == F.col("u"))
+        .withColumnRenamed("nb", "nbu")
+        .join(
+            adj.withColumnRenamed("src", "w").withColumnRenamed("nb", "nbw"),
+            F.col("dst") == F.col("w"),
+            "left",  # the top-ranked vertex has no out-edges
+        )
+    )
+    tri = edges_nb.agg(
+        F.sum(
+            F.size(
+                F.array_intersect(
+                    F.col("nbu"),
+                    F.coalesce(F.col("nbw"), F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+                )
             )
-        ),
-    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
-    tri = wedges.join(
-        oriented.select(
-            F.col("src").alias("x"), F.col("dst").alias("y")
-        ),
-        ["x", "y"],
-    ).agg(F.count("*").alias("n_triangles"))
+        )
+        .cast("bigint")
+        .alias("n_triangles")
+    )
     return pairs.agg(F.count("*").alias("n_edges")).crossJoin(tri)
