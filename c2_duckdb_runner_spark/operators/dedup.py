@@ -94,7 +94,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = f"""
+def _jaccard_pairs_sql(thresh: str) -> str:
+    """DuckDB SQL for exact token-4-gram Jaccard pairs at ``thresh`` —
+    shared by the oracle of ``dedup_near_ngram_jaccard`` (0.8) and the
+    recall-verdict oracles of the sketch-based dedups (ground truth)."""
+    return f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh0 AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s0 FROM d),
 sh AS (SELECT doc_id,
@@ -111,8 +115,11 @@ SELECT a_id, b_id,
 FROM p
 JOIN n na ON na.doc_id = p.a_id
 JOIN n nb ON nb.doc_id = p.b_id
-WHERE common * 1.0 / (na.nsh + nb.nsh - common) >= 0.8
+WHERE common * 1.0 / (na.nsh + nb.nsh - common) >= {thresh}
 """
+
+
+_JACCARD_ORACLE = _jaccard_pairs_sql("0.8")
 
 
 @register("dedup_near_ngram_jaccard", oracle=_JACCARD_ORACLE)
@@ -363,13 +370,12 @@ _BAND_KEYS = (
 )
 
 
-@register("dedup_minhash_lsh", oracle=None)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4) near-dup candidates, exact-verified.
 
-    Non-SQL-expressible for the oracle: the signature depends on Spark's
-    xxhash64. Output is still deterministic — candidates that survive the
-    exact-Jaccard ≥ 0.8 verification — so tests/test_dedup.py checks it
+    The pair list itself is xxhash64-dependent, so the registered query
+    (``dedup_minhash_lsh``) wraps this in a recall verdict that IS
+    hash-matchable; tests/test_dedup.py additionally pins the pair set
     against dedup_near_ngram_jaccard (LSH recall at this jac is ~1: a 0.8-sim
     pair misses all 8 bands with prob (1-0.8^4)^8 ≈ 0.6%, ≈0 at jac ≥ 0.97).
 
@@ -422,6 +428,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_verdict(
+    truth: DataFrame, found: DataFrame, min_recall_pct: int
+) -> DataFrame:
+    """One-row (n_true_pairs, recall_ok) verdict: how many ground-truth
+    pairs exist (hash-matched against the oracle's exact count) and whether
+    the sketch path recovered ≥ min_recall_pct% of them. Integer-only
+    comparison (n_hit·100 ≥ n_true·pct) so no float boundary can flip the
+    bit between engines."""
+    f = found.select("a_id", "b_id").withColumn("hit", F.lit(1))
+    agg = truth.select("a_id", "b_id").join(f, ["a_id", "b_id"], "left").agg(
+        F.count("*").alias("n_true_pairs"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    )
+    return agg.select(
+        F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+        (
+            F.col("n_hit") * 100 >= F.col("n_true_pairs") * min_recall_pct
+        )
+        .cast("int")
+        .alias("recall_ok"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=(
+        # Recall-pinned verdict oracle: the LSH pair list depends on Spark's
+        # xxhash64 (no DuckDB twin), but the GROUND TRUTH — exact 4-gram
+        # Jaccard ≥ 0.8 pairs — is SQL-exact, so both engines hash-match the
+        # truth-pair count while Spark additionally asserts its LSH+verify
+        # path recovered ≥ 95% of those pairs. The whole pipeline is
+        # deterministic (fixed xxhash64 seed), so the bit is stable, and a
+        # recall regression (lost band, broken signature) flips it red.
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, "
+        f"CAST(1 AS INT) AS recall_ok FROM ({_jaccard_pairs_sql('0.8')})"
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup, recall-verified against exact blocked Jaccard.
+
+    Runs the real sketch path (`_minhash_lsh_pairs`: sign → band → bucket
+    join → exact-Jaccard verify) AND the exact blocked ground truth
+    (dedup_near_ngram_jaccard), then emits one row: the truth-pair count
+    (cross-engine hash-matched) plus a recall_ok bit (≥ 95%). At 100 TB
+    you would sample the truth side; at test scale running it in full makes
+    the recall gate exact. Verified pairs are a subset of truth by
+    construction (same shingles, same threshold), so precision is 1."""
+    truth = dedup_near_ngram_jaccard(spark, sf_dir)
+    found = _minhash_lsh_pairs(spark, sf_dir)
+    return _recall_verdict(truth, found, 95)
+
+
 _SIMHASH = (
     "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + "
     "IF(aggregate(hs, CAST(0 AS BIGINT), "
@@ -430,17 +488,21 @@ _SIMHASH = (
 )
 
 
-@register("dedup_simhash", oracle=None)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs, hamming ≤ 8, 16-bit-chunk blocked.
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs, hamming ≤ 8, pigeonhole-blocked.
 
     Features are the same 4-token shingles as the Jaccard query — unigram
     tokens are useless here because the fixture's vocabulary is tiny, making
     every distinct-token *set* nearly identical. Sign-aggregate xxhash64 of
-    each shingle into a 64-bit fingerprint; pigeonhole blocking on the 4
-    16-bit chunks (hamming ≤ 3 guarantees a chunk match; ≤ 8 keeps recall
-    high for the fixture's 0.97-Jaccard pairs). xxhash64-dependent → no
-    DuckDB oracle; pinned by tests/test_dedup.py instead.
+    each shingle into a 64-bit fingerprint; block on 9 disjoint bit-blocks
+    (8×7 bits + 1×8 bits): 8 differing bits cannot touch all 9 blocks, so
+    every hamming ≤ 8 pair shares at least one block key — the blocking is
+    SOUND for the claimed radius (4×16-bit chunks, the common shortcut,
+    only guarantee hamming ≤ 3 and silently lose recall as docs grow).
+    Within-block verify is a popcount on two longs — no shingle arrays ride
+    the join. At web scale the block key is this block PLUS a prefix of the
+    permuted remainder (Manku et al., WWW'07) to keep buckets from going
+    quadratic; at fixture scale 2^7 buckets/block suffice.
     """
     # persist: the 64-bit sign-aggregation is the expensive map; both sides
     # of the chunk self-join reuse the fingerprint table instead of
@@ -458,8 +520,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), "
-                "c -> struct(c AS chunk, shiftright(simhash, c*16) & 65535 AS ck))"
+                "transform(sequence(0, 8), "
+                "c -> struct(c AS chunk, CASE WHEN c < 8 "
+                "THEN shiftright(simhash, c*7) & 127 "
+                "ELSE shiftright(simhash, 56) & 255 END AS ck))"
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk", "c.ck")
@@ -483,6 +547,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= 8)
         .select("a_id", "b_id", ham.cast("int").alias("hamming"))
     )
+
+
+@register(
+    "dedup_simhash",
+    oracle=(
+        # Same recall-verdict shape as dedup_minhash_lsh, but SimHash is a
+        # lossier sketch (a 64-bit fingerprint per doc, not 32 minima), so
+        # the pinned property is weaker: ≥ 90% of the NEAR-IDENTICAL pairs
+        # (exact Jaccard ≥ 0.97) must land within hamming ≤ 8. The truth
+        # count is SQL-exact and hash-matched; the fingerprint pipeline is
+        # deterministic so the bit is stable.
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, "
+        f"CAST(1 AS INT) AS recall_ok FROM ({_jaccard_pairs_sql('0.97')})"
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup, recall-verified on the near-identical truth set.
+
+    Runs the chunk-blocked SimHash path (`_simhash_pairs`) and the exact
+    blocked Jaccard ground truth restricted to jac ≥ 0.97 (pairs SimHash
+    MUST catch at hamming ≤ 8), then emits (n_true_pairs, recall_ok ≥ 90%)
+    — truth count hash-matched cross-engine, recall asserted Spark-side."""
+    truth = dedup_near_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jac") >= 0.97
+    )
+    found = _simhash_pairs(spark, sf_dir)
+    return _recall_verdict(truth, found, 90)
 
 
 _COS_ORACLE = """

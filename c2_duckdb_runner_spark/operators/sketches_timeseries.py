@@ -113,16 +113,15 @@ FROM orders_ex o
 """)
 
 
-@register("agg_hll_sketch_union", oracle=None)
-def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hll_sketch_union_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build one
     user_id sketch per event_type, then derive BOTH per-type estimates and
     the global estimate by UNIONING the sketches — the global count never
     re-touches raw data. This re-aggregatability is what makes distinct
     counting incremental at 100 TB: persist per-partition/day sketch
-    columns, merge on read. Sketch internals are engine-specific, so the
-    oracle is rows-only; accuracy is pinned by tests/test_sketches.py
-    against exact distinct counts."""
+    columns, merge on read."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
@@ -140,6 +139,60 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_events")
     return typed.unionByName(merged)
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle=(
+        # Accuracy-pinned verdict oracle: DataSketches HLL (Spark) and
+        # DuckDB's HLL are different sketches, so the estimates are never
+        # byte-comparable; both engines instead hash-match the EXACT
+        # distinct counts and event totals per type (and globally) plus a
+        # verdict bit that their own approx estimate sits within
+        # max(3, 5% of exact) — ~3 standard deviations of a lgK=12 sketch.
+        "WITH typed AS ("
+        "  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "         CAST(approx_count_distinct(user_id) AS BIGINT) AS au "
+        "  FROM events GROUP BY event_type "
+        "  UNION ALL "
+        "  SELECT '__all__', CAST(COUNT(*) AS BIGINT), "
+        "         CAST(COUNT(DISTINCT user_id) AS BIGINT), "
+        "         CAST(approx_count_distinct(user_id) AS BIGINT) "
+        "  FROM events"
+        ") "
+        "SELECT event_type, n_events, exact_users, "
+        "CAST(CASE WHEN ABS(CAST(au AS DOUBLE) - exact_users) <= "
+        "GREATEST(3.0, 0.05 * exact_users) THEN 1 ELSE 0 END AS INT) "
+        "AS within_rsd FROM typed"
+    ),
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-union distinct counting, accuracy-verified: the per-type and
+    union-merged HLL estimates (`_hll_sketch_union_estimates` — the
+    re-aggregatable 100 TB path) are checked against exact twins computed
+    in the same job, emitting hash-matched exact counts plus a per-row
+    verdict bit. The exact side exists only to ground the verdict; in
+    production the sketch column alone persists and merges."""
+    est = _hll_sketch_union_estimates(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    exact_typed = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("__all__").alias("event_type"), "exact_users")
+    exact = exact_typed.unionByName(exact_all)
+    j = est.join(exact, "event_type")
+    ok = F.abs(
+        F.col("approx_users").cast("double") - F.col("exact_users")
+    ) <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_users"))
+    return j.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        ok.cast("int").alias("within_rsd"),
+    )
 
 
 # NOTE: these two helpers run INSIDE the applyInPandas worker. Module-level
@@ -197,7 +250,40 @@ _CMS_SEED = 42
 _CMS_PROBE_USERS = list(range(1, 11))
 
 
-@register("agg_countmin_freq", oracle=None)
+_CMS_ORACLE = """
+WITH types AS (
+  SELECT DISTINCT event_type FROM events
+  UNION ALL SELECT '__all__'
+),
+probe AS (SELECT CAST(u AS BIGINT) AS user_id FROM range(1, 11) t(u)),
+ex AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE user_id BETWEEN 1 AND 10
+  GROUP BY event_type, user_id
+  UNION ALL
+  SELECT '__all__' AS event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE user_id BETWEEN 1 AND 10
+  GROUP BY user_id
+)
+SELECT t.event_type, p.user_id,
+       CAST(COALESCE(e.c, 0) AS BIGINT) AS exact_count,
+       CAST(1 AS INT) AS within_eps
+FROM types t
+CROSS JOIN probe p
+LEFT JOIN ex e ON e.event_type = t.event_type AND e.user_id = p.user_id
+"""
+
+
+@register(
+    "agg_countmin_freq",
+    # Verdict oracle with an honest asymmetry: DuckDB has no Count-Min
+    # sketch, so it cannot self-check an estimate — it emits the exact
+    # probe-grid counts plus the guarantee's EXPECTED verdict (1). The hash
+    # therefore verifies Spark's exact counts per (type, probe user) AND
+    # that the CMS bound true ≤ est ≤ true + eps·N held on every probe;
+    # a broken sketch parse/merge flips Spark's bit and the hash goes red.
+    oracle=_CMS_ORACLE,
+)
 def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency estimation via mergeable Count-Min sketches: one bounded-
     memory pass builds a per-event_type CMS of user_id (built-in JVM
@@ -210,9 +296,9 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     key universe needs either a full groupBy(key) shuffle or a sketch;
     the sketch is ~10 KB per group, re-aggregatable across partitions /
     days / sources without re-scanning. Guarantee: true ≤ est ≤ true +
-    eps·N with prob ≥ confidence — pinned by tests/test_sketches.py
-    against exact counts. Sketch internals are engine-specific (DuckDB has
-    no CMS), so the oracle is rows-only."""
+    eps·N with prob ≥ confidence — checked in-query against exact probe
+    counts (the hash-matched verdict columns) and again by
+    tests/test_sketches.py."""
     import sys
 
     import pandas as pd
@@ -263,28 +349,96 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one group (a handful of ~10 KB sketches — driver-sized by
     # construction); Arrow-batched boundary like every Python step here
-    return (
-        per_type.groupBy(F.lit(1).alias("g"))
-        .applyInPandas(
-            merge_and_probe,
-            schema="event_type string, user_id bigint, est_count bigint",
-        )
+    est = per_type.groupBy(F.lit(1).alias("g")).applyInPandas(
+        merge_and_probe,
+        schema="event_type string, user_id bigint, est_count bigint",
+    )
+
+    # exact probe-grid twins ground the verdict: per-type and global N for
+    # the eps·N bound, exact counts for the probe users (tiny filtered
+    # aggregates — the probe set is fixed, never the key universe)
+    n_typed = ev.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+    n_all = ev.agg(F.count("*").alias("n_rows")).select(
+        F.lit("__all__").alias("event_type"), "n_rows"
+    )
+    ns = n_typed.unionByName(n_all)
+    probed = ev.filter(F.col("user_id").isin(probe))
+    ex_typed = probed.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    ex_all = probed.groupBy("user_id").agg(F.count("*").alias("c")).select(
+        F.lit("__all__").alias("event_type"), "user_id", "c"
+    )
+    exacts = ex_typed.unionByName(ex_all)
+    j = est.join(F.broadcast(ns), "event_type").join(
+        F.broadcast(exacts), ["event_type", "user_id"], "left"
+    )
+    exact_count = F.coalesce(F.col("c"), F.lit(0)).cast("long")
+    ok = (exact_count <= F.col("est_count")) & (
+        F.col("est_count") <= exact_count + _CMS_EPS * F.col("n_rows")
+    )
+    return j.select(
+        "event_type",
+        "user_id",
+        exact_count.alias("exact_count"),
+        ok.cast("int").alias("within_eps"),
     )
 
 
-@register("agg_approx_percentile", oracle=None)
+@register(
+    "agg_approx_percentile",
+    oracle=(
+        # Accuracy-pinned verdict oracle (same pattern as
+        # agg_approx_distinct): GK summaries (Spark) and t-digest (DuckDB)
+        # never agree byte-for-byte, but both engines can assert their OWN
+        # approx p50/p95/p99 lands between their exact percentiles at
+        # p ± 2.5% rank — a ~25× looser band than GK's n/10000 guarantee,
+        # so the bit is deterministic-true for both, yet a broken sketch
+        # path still flips it. n is exact and hash-matched per group.
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(CASE WHEN "
+        "approx_quantile(l_extendedprice, 0.5) BETWEEN "
+        "  quantile_cont(l_extendedprice, 0.475) AND "
+        "  quantile_cont(l_extendedprice, 0.525) "
+        "AND approx_quantile(l_extendedprice, 0.95) BETWEEN "
+        "  quantile_cont(l_extendedprice, 0.925) AND "
+        "  quantile_cont(l_extendedprice, 0.975) "
+        "AND approx_quantile(l_extendedprice, 0.99) BETWEEN "
+        "  quantile_cont(l_extendedprice, 0.965) AND "
+        "  quantile_cont(l_extendedprice, 1.0) "
+        "THEN 1 ELSE 0 END AS INT) AS within_rank_err "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna summary): p50/p95/p99 of
     extended price per return flag in one bounded-memory pass — the scale
     path next to the exact ordered-statistic baseline (agg_percentiles),
     which buffers every value. Rank error ≤ n/accuracy (accuracy 10000).
-    GK summaries are engine-specific (DuckDB uses t-digest), so the
-    oracle is rows-only; tests/test_sketches.py pins the rank-error bound
-    against the exact answer."""
+
+    Cross-engine check: sketch internals differ (DuckDB uses t-digest), so
+    each engine emits a verdict bit — its approx estimate must land between
+    its exact percentiles at p ± 2.5% rank — alongside the exact group
+    count; tests/test_sketches.py additionally pins the tight n/10000 GK
+    bound against the exact ordered statistic."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
         ).alias("pcts"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.475D, 0.925D, 0.965D))"
+        ).alias("lo"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.525D, 0.975D, 1.0D))"
+        ).alias("hi"),
+    )
+    ok = F.expr(
+        "pcts[0] BETWEEN lo[0] AND hi[0] AND "
+        "pcts[1] BETWEEN lo[1] AND hi[1] AND "
+        "pcts[2] BETWEEN lo[2] AND hi[2]"
+    )
+    return agg.select(
+        "l_returnflag", "n", ok.cast("int").alias("within_rank_err")
     )

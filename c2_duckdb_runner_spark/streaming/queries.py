@@ -610,16 +610,12 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-@register("stream_tumbling_approx_users", oracle=None)
-def stream_tumbling_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketches INSIDE streaming state: hourly tumbling windows carrying an
-    HLL approx-distinct of user_id alongside the exact row count. This is
-    the always-on dashboard shape at 100 TB/day — per-window distinct
-    users without ever holding the raw user set in state; the HLL partial
-    in each micro-batch merges into the window's sketch exactly like the
-    batch map-side combine. No oracle (HLL internals are engine-specific);
-    tests/test_streaming_extra.py pins each window's estimate against the
-    batch-exact distinct count at 5% rsd."""
+def _stream_tumbling_approx_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The raw streamed window estimates (win_start_ms, n, approx_users) —
+    the production output; the registered query wraps it in an exact-twin
+    verdict so the cross-engine differential can hash-match it."""
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -634,3 +630,52 @@ def stream_tumbling_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, agg, "complete")
+
+
+@register(
+    "stream_tumbling_approx_users",
+    oracle=f"""
+SELECT ({_DUCK_MS} // 3600000) * 3600000 AS win_start_ms,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(CASE WHEN
+         ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+             - COUNT(DISTINCT user_id))
+         <= GREATEST(3.0, 0.10 * COUNT(DISTINCT user_id))
+       THEN 1 ELSE 0 END AS INT) AS within_rsd
+FROM events GROUP BY 1
+""",
+)
+def stream_tumbling_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches INSIDE streaming state: hourly tumbling windows carrying an
+    HLL approx-distinct of user_id alongside the exact row count. This is
+    the always-on dashboard shape at 100 TB/day — per-window distinct
+    users without ever holding the raw user set in state; the HLL partial
+    in each micro-batch merges into the window's sketch exactly like the
+    batch map-side combine.
+
+    Cross-engine check (HLL internals are engine-specific): the drained
+    stream joins a batch-exact per-window distinct twin and emits
+    hash-matched (win_start_ms, n, exact_users) plus a within-10%-or-±3
+    verdict bit; DuckDB self-checks its own sketch the same way.
+    tests/test_streaming_extra.py pins the tighter 5% bound."""
+    streamed = _stream_tumbling_approx_estimates(spark, sf_dir)
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "exact_users",
+        )
+    )
+    j = streamed.join(exact, "win_start_ms")
+    ok = F.abs(
+        F.col("approx_users").cast("double") - F.col("exact_users")
+    ) <= F.greatest(F.lit(3.0), 0.10 * F.col("exact_users"))
+    return j.select(
+        "win_start_ms",
+        "n",
+        "exact_users",
+        ok.cast("int").alias("within_rsd"),
+    )

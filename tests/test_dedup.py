@@ -17,8 +17,10 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     the brute blocking query; at the fixture's jac >= 0.97 planted dups the
     miss probability per pair is ~(1-0.97^4)^8 ~ 1e-9, so require equality
     on the high-similarity pairs."""
+    from c2_duckdb_runner_spark.operators.dedup import _minhash_lsh_pairs
+
     exact = QUERIES["dedup_near_ngram_jaccard"](spark, sf_dir)
-    lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    lsh = _minhash_lsh_pairs(spark, sf_dir)
     exact_pairs = _pairs(exact)
     lsh_pairs = _pairs(lsh)
     assert lsh_pairs <= exact_pairs
@@ -27,11 +29,22 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert len(lsh_pairs) > 0
 
 
+def test_minhash_lsh_verdict_row(spark, sf_dir):
+    """The registered query's recall verdict must hold: one row, truth-pair
+    count > 0, recall_ok = 1."""
+    row = QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert len(row) == 1
+    assert row[0]["n_true_pairs"] > 0
+    assert row[0]["recall_ok"] == 1
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     """Near-identical token sets (jac >= 0.97) must land within hamming <= 8;
     simhash pairs must at least cover most of them and stay plausible."""
+    from c2_duckdb_runner_spark.operators.dedup import _simhash_pairs
+
     exact = QUERIES["dedup_near_ngram_jaccard"](spark, sf_dir)
-    sim = QUERIES["dedup_simhash"](spark, sf_dir)
+    sim = _simhash_pairs(spark, sf_dir)
     high = {(r["a_id"], r["b_id"]) for r in exact.collect() if r["jac"] >= 0.97}
     sim_pairs = _pairs(sim)
     assert len(sim_pairs) > 0
@@ -41,6 +54,13 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
         assert recall >= 0.9, f"simhash recall {recall:.2f} over {len(high)} pairs"
     for r in sim.collect():
         assert 0 <= r["hamming"] <= 8
+
+
+def test_simhash_verdict_row(spark, sf_dir):
+    row = QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    assert len(row) == 1
+    assert row[0]["n_true_pairs"] > 0
+    assert row[0]["recall_ok"] == 1
 
 
 def test_exact_dedup_collapses_planted_dups(spark, sf_dir):
