@@ -71,7 +71,8 @@ def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT l_orderkey, l_linenumber, "
         "list_transform(range(1, 4), x -> x * l_linenumber) AS multiples, "
         "list_filter(range(1, 7), x -> x % l_linenumber = 0) AS divisible, "
-        "list_sum(list_transform(range(1, 4), x -> x * l_linenumber)) AS mult_sum "
+        "CAST(list_sum(list_transform(range(1, 4), x -> x * l_linenumber)) "
+        "AS BIGINT) AS mult_sum "
         "FROM lineitem WHERE l_orderkey <= 100"
     ),
 )

@@ -141,8 +141,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT l_orderkey, l_linenumber, "
         "abs(l_quantity - 25) AS dist25, "
-        "floor(l_extendedprice / 1000) AS price_k, "
-        "ceil(l_discount * 100) AS disc_pct, "
+        "CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k, "
+        "CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct, "
         "round(sqrt(l_extendedprice), 6) AS root_price, "
         "round(ln(l_extendedprice), 6) AS ln_price, "
         "round(log10(l_extendedprice), 6) AS log_price, "
@@ -150,7 +150,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         "greatest(l_discount, l_tax) AS max_rate, "
         "least(l_discount, l_tax) AS min_rate, "
         "CAST(l_orderkey % 7 AS BIGINT) AS key_mod, "
-        "sign(l_quantity - 25) AS qty_sign "
+        "CAST(sign(l_quantity - 25) AS DOUBLE) AS qty_sign "
         "FROM lineitem"
     ),
 )
@@ -390,7 +390,8 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(CASE WHEN l_linenumber = 3 THEN NULL
-                  ELSE l_orderkey / (l_linenumber - 3) END, 6) AS safe_div,
+                  ELSE l_orderkey / (l_linenumber - 3) END, 6) + 0.0
+         AS safe_div,
        TRY_CAST(CASE WHEN l_orderkey % 3 = 0 THEN CAST(l_orderkey AS VARCHAR)
                      ELSE 'x' || CAST(l_orderkey AS VARCHAR) END AS BIGINT)
          AS parsed,

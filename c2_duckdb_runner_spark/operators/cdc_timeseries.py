@@ -131,8 +131,8 @@ _HOUR_MS = 3_600_000
 WITH hourly AS (
   SELECT user_id,
          epoch_ms(CAST(ts AS TIMESTAMP)) // {_HOUR_MS} AS h,
-         SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT))
-           AS v
+         CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS v
   FROM events GROUP BY 1, 2
 ), spine AS (
   SELECT user_id, unnest(range(min(h), max(h) + 1)) AS h

@@ -60,7 +60,8 @@ SELECT sk AS s_suppkey, MAX(depth) AS depth FROM chain GROUP BY sk
     "fn_variant",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS k_sum
 FROM events
 WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 50
 GROUP BY event_type

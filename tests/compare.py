@@ -72,7 +72,10 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: st
     s_rows = canon_frame(spark_pdf)
     d_rows = canon_frame(duck_pdf)
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
-        assert a == b, (
+        # repr-strict, not ==: a value-hashing driver distinguishes int 42
+        # from double 42.0 and 0.0 from -0.0, so the differential must too
+        # (caught real oracle-type gaps: HUGEINT sums, round(-eps) signs).
+        assert repr(a) == repr(b), (
             f"[{key}] first differing row (sorted order) at {i}:\n"
             f"  spark: {a}\n  duck:  {b}"
         )
