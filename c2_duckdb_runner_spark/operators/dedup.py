@@ -94,12 +94,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_sql(thresh: str) -> str:
+def _jaccard_pairs_sql(thresh: str, sample_mod: int | None = None) -> str:
     """DuckDB SQL for exact token-4-gram Jaccard pairs at ``thresh`` —
     shared by the oracle of ``dedup_near_ngram_jaccard`` (0.8) and the
-    recall-verdict oracles of the sketch-based dedups (ground truth)."""
+    recall-verdict oracles of the sketch-based dedups (ground truth).
+    ``sample_mod`` restricts the pair universe to docs whose md5(doc_id)
+    60-bit prefix is ≡ 0 (mod m) — the deterministic cross-engine doc
+    sample the minhash recall audit runs on."""
+    where = (
+        ""
+        if sample_mod is None
+        else (
+            " WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),"
+            f" 1, 15)) AS BIGINT) % {sample_mod} = 0"
+        )
+    )
     return f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents{where}),
 sh0 AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s0 FROM d),
 sh AS (SELECT doc_id,
               CAST(('0x' || substring(md5(s0), 1, 15)) AS BIGINT) AS s
@@ -138,7 +150,29 @@ def dedup_near_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlikely 60-bit collision would inflate both engines' counts equally
     and the differential stays exact.
     """
-    sh = _with_shingles(spark, sf_dir)
+    return _jaccard_pairs_spark(spark, sf_dir)
+
+
+def _jaccard_pairs_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    thresh: float = 0.8,
+    sample_mod: int | None = None,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Exact blocked Jaccard pairs (the Spark twin of
+    ``_jaccard_pairs_sql``), optionally restricted to the deterministic
+    md5-parity doc sample both engines agree on. ``shingled`` lets a
+    caller that already materialized (doc_id, sh, nsh) — e.g. the minhash
+    signature table — feed it in instead of re-scanning the corpus."""
+    sh = shingled if shingled is not None else _with_shingles(spark, sf_dir)
+    if sample_mod is not None:
+        sh = sh.filter(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+                f"16, 10) AS BIGINT) % {sample_mod} = 0"
+            )
+        )
     exploded = sh.select(
         "doc_id",
         F.explode("sh").alias("s0"),
@@ -165,7 +199,7 @@ def dedup_near_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(na, F.col("na.doc_id") == F.col("a_id"))
         .join(nb, F.col("nb.doc_id") == F.col("b_id"))
-        .filter(jac >= 0.8)
+        .filter(jac >= thresh)
         .select("a_id", "b_id", F.round(jac, 6).alias("jac"))
     )
 
@@ -370,7 +404,26 @@ _BAND_KEYS = (
 )
 
 
-def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted minhash signature table (doc_id, sh, nsh, sig): every
+    downstream branch (band explode, both sides of the verify join, the
+    sampled recall audit) reuses it instead of recomputing the shingle+hash
+    map — the same reason production minhash pipelines write signatures out
+    as a table before the LSH join. Without this the plan scans & re-signs
+    the corpus once per branch."""
+    return (
+        _with_shingles(spark, sf_dir)
+        .filter(F.col("nsh") > 0)
+        .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
+        .withColumn("sig", F.expr(_MINHASH_SIG))
+        .select("doc_id", "sh", "nsh", "sig")
+        .persist()
+    )
+
+
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4) near-dup candidates, exact-verified.
 
     The pair list itself is xxhash64-dependent, so the registered query
@@ -382,19 +435,8 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: band keys are near-uniform xxhash64 values, so the candidate
     shuffle never skews the way raw-shingle blocking can.
     """
-    # Persist the signature table: every downstream branch (band explode,
-    # both sides of the verify join) reuses it instead of recomputing the
-    # shingle+hash map — the same reason production minhash pipelines write
-    # signatures out as a table before the LSH join. Without this the plan
-    # scans & re-signs the corpus once per branch.
-    sig = (
-        _with_shingles(spark, sf_dir)
-        .filter(F.col("nsh") > 0)
-        .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
-        .withColumn("sig", F.expr(_MINHASH_SIG))
-        .select("doc_id", "sh", "nsh", "sig")
-        .persist()
-    )
+    if sig is None:
+        sig = _minhash_sig_table(spark, sf_dir)
     # Slim band rows (doc_id, band, key) self-join into candidate id pairs —
     # the shingle arrays never ride through the LSH shuffle.
     bands = sig.select(
@@ -456,27 +498,47 @@ def _recall_verdict(
     oracle=(
         # Recall-pinned verdict oracle: the LSH pair list depends on Spark's
         # xxhash64 (no DuckDB twin), but the GROUND TRUTH — exact 4-gram
-        # Jaccard ≥ 0.8 pairs — is SQL-exact, so both engines hash-match the
-        # truth-pair count while Spark additionally asserts its LSH+verify
-        # path recovered ≥ 95% of those pairs. The whole pipeline is
-        # deterministic (fixed xxhash64 seed), so the bit is stable, and a
-        # recall regression (lost band, broken signature) flips it red.
+        # Jaccard ≥ 0.8 pairs over the md5-parity HALF of the corpus — is
+        # SQL-exact, so both engines hash-match the truth-pair count while
+        # Spark additionally asserts its LSH+verify path recovered ≥ 95% of
+        # those pairs. The whole pipeline is deterministic (fixed hashes),
+        # so the bit is stable, and a recall regression (lost band, broken
+        # signature) flips it red.
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, "
-        f"CAST(1 AS INT) AS recall_ok FROM ({_jaccard_pairs_sql('0.8')})"
+        "CAST(1 AS INT) AS recall_ok "
+        f"FROM ({_jaccard_pairs_sql('0.8', sample_mod=2)})"
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH dedup, recall-verified against exact blocked Jaccard.
+    """MinHash-LSH dedup with a sampled-truth recall audit.
 
     Runs the real sketch path (`_minhash_lsh_pairs`: sign → band → bucket
-    join → exact-Jaccard verify) AND the exact blocked ground truth
-    (dedup_near_ngram_jaccard), then emits one row: the truth-pair count
-    (cross-engine hash-matched) plus a recall_ok bit (≥ 95%). At 100 TB
-    you would sample the truth side; at test scale running it in full makes
-    the recall gate exact. Verified pairs are a subset of truth by
-    construction (same shingles, same threshold), so precision is 1."""
-    truth = dedup_near_ngram_jaccard(spark, sf_dir)
-    found = _minhash_lsh_pairs(spark, sf_dir)
+    join → exact-Jaccard verify) over the WHOLE corpus, plus the exact
+    blocked ground truth over a deterministic md5-parity HALF of the docs
+    (¼ of the pair universe), then emits one row: the sampled truth-pair
+    count (cross-engine hash-matched) and a recall_ok bit (≥ 95% of
+    sampled truth recovered). Sampling the audit, not the operator, is the
+    100 TB design: full exact truth costs more than the LSH it validates
+    (measured ~5× here), while a hash-parity sample keeps the audit exact,
+    reproducible in both engines, and proportional to sample size.
+    tests/test_dedup.py still pins the FULL pair list against full truth
+    at test scale. Verified pairs are a subset of truth by construction
+    (same shingles, same threshold), so precision is 1."""
+    sig = _minhash_sig_table(spark, sf_dir)
+    truth = _jaccard_pairs_spark(
+        spark,
+        sf_dir,
+        0.8,
+        sample_mod=2,
+        shingled=sig.select("doc_id", "sh", "nsh"),
+    )
+    in_sample = (
+        "CAST(conv(substring(md5(CAST({c} AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT) % 2 = 0"
+    )
+    found = _minhash_lsh_pairs(spark, sf_dir, sig=sig).filter(
+        F.expr(in_sample.format(c="a_id")) & F.expr(in_sample.format(c="b_id"))
+    )
     return _recall_verdict(truth, found, 95)
 
 
