@@ -487,3 +487,46 @@ def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.2f", F.col("c_acctbal")).alias("bal_txt"),
         F.format_string("%x", F.col("c_custkey")).alias("key_hex"),
     )
+
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key; production keys arrive via conf
+
+
+@register(
+    "fn_aes_roundtrip",
+    # DuckDB has no AES functions, so the oracle states the roundtrip LAW
+    # the Spark side must prove: decrypt(encrypt(x, k), k) = x (verified
+    # value-by-value — the restored plaintext column is hash-matched) and
+    # try_aes_decrypt under the wrong key yields NULL. A broken crypto
+    # path (bad padding, mode mismatch, key truncation) breaks either the
+    # restored names or the verdict bits and the hash goes red.
+    oracle=(
+        "SELECT c_custkey, c_name AS restored_name, "
+        "CAST(1 AS INT) AS roundtrip_ok, CAST(1 AS INT) AS wrong_key_null "
+        "FROM customer"
+    ),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round-trip — the governance primitive for
+    PII columns at rest (encrypt on ingest, decrypt in the trusted zone):
+    aes_encrypt in ECB mode (deterministic: same key+plaintext → same
+    ciphertext, which is what makes encrypted columns still joinable /
+    groupable when required; GCM is the right mode when determinism is NOT
+    wanted), aes_decrypt back, and try_aes_decrypt under a wrong key
+    proving failure is NULL-safe, not a job-killer. All JVM-side codegen
+    expressions — zero Python, map-only at any scale."""
+    c = load(spark, sf_dir, "customer")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'), "
+        f"'{_AES_KEY}', 'ECB') AS STRING)"
+    )
+    wrong = F.expr(
+        f"try_aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'), "
+        f"'fedcba9876543210', 'ECB')"
+    )
+    return c.select(
+        "c_custkey",
+        dec.alias("restored_name"),
+        (dec == F.col("c_name")).cast("int").alias("roundtrip_ok"),
+        wrong.isNull().cast("int").alias("wrong_key_null"),
+    )

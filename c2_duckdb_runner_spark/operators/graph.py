@@ -417,3 +417,72 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_triangles")
     )
     return pairs.agg(F.count("*").alias("n_edges")).crossJoin(tri)
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unroll _BFS_ROUNDS exact relaxation steps as a DuckDB CTE chain —
+    integer distances, so the replay is bit-for-bit."""
+    parts = [
+        f"""WITH e AS ({_EDGES_SQL}),
+d0 AS (SELECT c_custkey AS node, 0 AS dist FROM customer
+       WHERE c_custkey % 100 = 0)"""
+    ]
+    for k in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f"""d{k} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM e JOIN d{k - 1} d ON e.src = d.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist"
+        f" FROM d{_BFS_ROUNDS}"
+    )
+
+
+@register("graph_bfs_multisource", oracle=_bfs_oracle())
+def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest hop-distance over the trade network: every
+    100th customer is a source at distance 0; 4 synchronous relaxation
+    rounds propagate dist+1 along edges with a min-fold per node — the
+    Pregel/Bellman-Ford shape (the third iterative-graph family next to
+    PageRank and connected components). Reachable nodes up to 4 hops get
+    their EXACT BFS level (integer arithmetic, so the unrolled DuckDB CTE
+    chain replays it bit-for-bit).
+
+    Scale shape: one edges⨝distances shuffle + one min-group per round,
+    both keyed; distances localCheckpoint each round (flat lineage, same
+    discipline as PageRank). A production frontier variant would join only
+    NEWLY-settled nodes against edges (delta propagation) — the full
+    min-fold is kept here because it is what the oracle can replay exactly
+    and the per-round cost model is identical, just un-truncated."""
+    edges = _edges(spark, sf_dir).persist()
+    dist = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            F.col("c_custkey").alias("node"), F.lit(0).alias("dist")
+        )
+    )
+    for _ in range(_BFS_ROUNDS):
+        relaxed = edges.join(
+            dist, edges.src == dist.node
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )

@@ -279,3 +279,49 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("next_click").alias("next_click_ms"),
         (F.unix_millis("next_click") - F.unix_millis("ts")).alias("gap_ms"),
     )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+WITH hrs AS (
+  SELECT DISTINCT user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS h
+  FROM events
+),
+tagged AS (
+  SELECT user_id, h,
+         h - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS grp
+  FROM hrs
+)
+SELECT user_id,
+       CAST(MIN(h) AS BIGINT) AS island_start_h,
+       CAST(MAX(h) AS BIGINT) AS island_end_h,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM tagged GROUP BY user_id, grp
+""",
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active hours per user
+    (the segment-detection dual of gap-based sessionization, which keys on
+    the gaps instead). The classic h − row_number() trick: within a user,
+    consecutive hours share a constant difference from their rank, so one
+    window pass + one grouped agg finds every island — no self-join, no
+    iteration. Both shuffles key on user_id; at 100 TB the distinct, the
+    window, and the final group-by all ride the same hash partitioning, so
+    AQE/exchange-reuse keeps it at effectively one physical shuffle."""
+    hrs = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_millis(ts) div 3600000").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    tagged = hrs.withColumn("grp", F.col("h") - F.row_number().over(w))
+    return tagged.groupBy("user_id", "grp").agg(
+        F.min("h").cast("bigint").alias("island_start_h"),
+        F.max("h").cast("bigint").alias("island_end_h"),
+        F.count("*").alias("n_hours"),
+    ).drop("grp")

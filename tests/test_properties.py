@@ -400,3 +400,45 @@ def test_semantic_keep_consistent_with_pair_list(spark, sf_dir):
     dropped = {r["b_id"] for r in pairs}
     for vid, k in keep.items():
         assert k == (0 if vid in dropped else 1), (vid, k)
+
+
+def test_bfs_levels_are_valid(spark, sf_dir):
+    """BFS sanity: sources at 0, every non-source level in [1, 4], and at
+    least one node at level 1 (sources have orders in every fixture)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["graph_bfs_multisource"](spark, sf_dir).collect()
+    dists = {r["node"]: r["dist"] for r in rows}
+    assert dists
+    assert all(0 <= d <= 4 for d in dists.values())
+    assert any(d == 0 for d in dists.values())
+    assert any(d == 1 for d in dists.values())
+
+
+def test_gaps_islands_partition_hours(spark, sf_dir):
+    """Islands must partition each user's distinct active hours: total
+    n_hours equals the distinct (user, hour) count, and islands never
+    overlap or touch (a touching pair would have merged)."""
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+    from c2_duckdb_runner_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = entrymod.queries()["window_gaps_islands"](spark, sf_dir).collect()
+    total = sum(r["n_hours"] for r in rows)
+    exact = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_millis(ts) div 3600000"))
+        .distinct()
+        .count()
+    )
+    assert total == exact
+    per_user = defaultdict(list)
+    for r in rows:
+        assert r["island_end_h"] - r["island_start_h"] + 1 == r["n_hours"]
+        per_user[r["user_id"]].append((r["island_start_h"], r["island_end_h"]))
+    for spans in per_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, (s1, e1, s2)
