@@ -7,8 +7,9 @@ partials, merge across partitions/days/increments, and never hold raw
 values. Reached through the reference's delegated SQL slot
 (``main.cc:181-182``); DuckDB's approx_count_distinct/approx_quantile are
 the same capability with different sketch internals, so the sketch queries
-are rows-only for the oracle and accuracy-pinned by tests/test_sketches.py
-against exact twins.
+carry accuracy-pinned VERDICT oracles — exact twin columns hash-matched
+cross-engine plus a bit asserting the sketch met its error bound — and are
+additionally pinned by tests/test_sketches.py.
 
 Scale notes:
 - ``agg_hll_sketch_union`` demonstrates re-aggregatable distincts: per-type
@@ -441,4 +442,169 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "l_returnflag", "n", ok.cast("int").alias("within_rank_err")
+    )
+
+
+@register(
+    "agg_theta_set_ops",
+    oracle=(
+        # Same verdict pattern as the HLL/CMS oracles: DuckDB computes the
+        # EXACT audience-overlap counts (hash-matched) and the expected
+        # verdict; Spark computes the same exact counts plus theta-sketch
+        # estimates and asserts each estimate lands within max(3, 5%) of
+        # its exact twin. Theta default lgK=12 → ~2% rse, so the bit is
+        # deterministic-true until a sketch/set-op path breaks.
+        "WITH c AS (SELECT DISTINCT user_id FROM events "
+        "           WHERE event_type = 'click'), "
+        "p AS (SELECT DISTINCT user_id FROM events "
+        "      WHERE event_type = 'purchase') "
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click, "
+        "CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase, "
+        "CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT) "
+        "  AS n_both, "
+        "CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) "
+        "  AS BIGINT) AS n_either, "
+        "CAST(1 AS INT) AS within_rse"
+    ),
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (DataSketches, Spark 4.1): SET ALGEBRA on sketches —
+    intersection and union cardinalities of the click vs purchase
+    audiences WITHOUT re-touching raw data. This is the capability HLL
+    fundamentally lacks (HLL unions but cannot intersect); at 100 TB it is
+    the audience-overlap / funnel-intersection primitive: persist one
+    ~16 KB theta sketch per segment per day, answer any pairwise overlap
+    later by sketch algebra alone. Exact twins ride along for the verdict
+    (and are what the cross-engine hash compares)."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    pair = (
+        sk.filter(F.col("event_type") == "click")
+        .select(F.col("sk").alias("a"), F.col("exact").alias("n_click"))
+        .crossJoin(
+            sk.filter(F.col("event_type") == "purchase").select(
+                F.col("sk").alias("b"), F.col("exact").alias("n_purchase")
+            )
+        )
+    )
+    exact_both = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    exact_either = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.countDistinct("user_id").alias("n_either"))
+    )
+    est = pair.crossJoin(F.broadcast(exact_both)).crossJoin(
+        F.broadcast(exact_either)
+    ).select(
+        "n_click",
+        "n_purchase",
+        "n_both",
+        "n_either",
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(a, b))"
+        ).alias("est_both"),
+        F.expr("theta_sketch_estimate(theta_union(a, b))").alias("est_either"),
+    )
+
+    def ok(est_c: str, exact_c: str):
+        return F.abs(
+            F.col(est_c).cast("double") - F.col(exact_c)
+        ) <= F.greatest(F.lit(3.0), 0.05 * F.col(exact_c))
+
+    return est.select(
+        "n_click",
+        "n_purchase",
+        "n_both",
+        "n_either",
+        (ok("est_both", "n_both") & ok("est_either", "n_either"))
+        .cast("int")
+        .alias("within_rse"),
+    )
+
+
+@register(
+    "agg_kll_quantile_merge",
+    oracle=(
+        # Verdict oracle: exact per-flag counts hash-matched; each engine
+        # asserts its own approx-median machinery is within +-2.5% rank of
+        # exact (Spark: KLL sketches MERGED across groups — the
+        # re-aggregatable path; DuckDB: approx_quantile).
+        "WITH g AS ("
+        "  SELECT l_returnflag, COUNT(*) AS n, "
+        "         approx_quantile(l_extendedprice, 0.5) AS est, "
+        "         quantile_cont(l_extendedprice, 0.475) AS lo, "
+        "         quantile_cont(l_extendedprice, 0.525) AS hi "
+        "  FROM lineitem GROUP BY l_returnflag "
+        "  UNION ALL "
+        "  SELECT '__all__', COUNT(*), approx_quantile(l_extendedprice, 0.5),"
+        "         quantile_cont(l_extendedprice, 0.475), "
+        "         quantile_cont(l_extendedprice, 0.525) "
+        "  FROM lineitem"
+        ") "
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        "CAST(CASE WHEN est BETWEEN lo AND hi THEN 1 ELSE 0 END AS INT) "
+        "  AS within_rank_err FROM g"
+    ),
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (DataSketches, Spark 4.1) with MERGE: one
+    bounded-memory sketch per return flag, then the GLOBAL median comes
+    from kll_sketch_merge of the group sketches — never re-scanning rows.
+    This is what approx_percentile (GK) cannot do across precomputed
+    groups: persist per-partition/day sketches, merge on read, query any
+    quantile. Exact twins (count + p47.5/p52.5 bracket) ground the
+    verdict; the global row's estimate comes from the merged sketch, so a
+    broken merge path flips the '__all__' bit."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "price_d", F.col("l_extendedprice").cast("double")
+    )
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.expr("kll_sketch_agg_double(price_d)").alias("sk"),
+        F.count("*").alias("n"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.475D, 0.525D))"
+        ).alias("br"),
+    )
+    flag_rows = per_flag.select(
+        "l_returnflag",
+        "n",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("est"),
+        F.col("br")[0].alias("lo"),
+        F.col("br")[1].alias("hi"),
+    )
+    merged = per_flag.agg(
+        F.expr("kll_merge_agg_double(sk)").alias("sk"),
+        F.sum("n").alias("n"),
+    )
+    global_br = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.475D, 0.525D))").alias(
+            "br"
+        )
+    )
+    all_row = merged.crossJoin(F.broadcast(global_br)).select(
+        F.lit("__all__").alias("l_returnflag"),
+        "n",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("est"),
+        F.col("br")[0].alias("lo"),
+        F.col("br")[1].alias("hi"),
+    )
+    rows = flag_rows.unionByName(all_row)
+    return rows.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("est").between(F.col("lo"), F.col("hi"))
+        .cast("int")
+        .alias("within_rank_err"),
     )

@@ -1,6 +1,6 @@
-"""Accuracy pins for the rows-only sketch queries (no DuckDB oracle —
-sketch internals are engine-specific), each checked against an exact twin
-computed in the same session.
+"""Accuracy pins for the sketch queries: the registered forms carry
+verdict oracles (exact twins hash-matched cross-engine); these tests pin
+the tighter published error bounds against exact twins in-session.
 """
 
 from __future__ import annotations
@@ -113,3 +113,22 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             target = p * n
             tol = n / 10000 + 1
             assert lo - tol <= target <= hi + tol, (flag, p, est, lo, hi, target)
+
+
+def test_theta_set_ops_verdict(spark, sf_dir):
+    rows = QUERIES["agg_theta_set_ops"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["within_rse"] == 1
+    # set-algebra invariants on the exact twins
+    assert r["n_both"] <= min(r["n_click"], r["n_purchase"])
+    assert r["n_either"] == r["n_click"] + r["n_purchase"] - r["n_both"]
+
+
+def test_kll_quantile_merge_verdict(spark, sf_dir):
+    rows = QUERIES["agg_kll_quantile_merge"](spark, sf_dir).collect()
+    flags = {r["l_returnflag"] for r in rows}
+    assert "__all__" in flags and len(flags) >= 3
+    assert all(r["within_rank_err"] == 1 for r in rows)
+    n_all = next(r["n"] for r in rows if r["l_returnflag"] == "__all__")
+    assert n_all == sum(r["n"] for r in rows if r["l_returnflag"] != "__all__")
