@@ -30,14 +30,15 @@ WITH feed AS (
                                   ORDER BY o_orderdate, o_orderkey) AS prev
   FROM orders
 ), changes AS (
-  SELECT o_custkey, o_orderstatus, ms FROM feed
+  SELECT o_custkey, o_orderstatus, ms, o_orderkey FROM feed
   WHERE prev IS NULL OR prev <> o_orderstatus
 )
 SELECT o_custkey, o_orderstatus AS status,
        ms AS eff_from_ms,
-       LEAD(ms) OVER (PARTITION BY o_custkey ORDER BY ms) AS eff_to_ms,
-       (LEAD(ms) OVER (PARTITION BY o_custkey ORDER BY ms) IS NULL)
-         AS is_current
+       LEAD(ms) OVER (PARTITION BY o_custkey ORDER BY ms, o_orderkey)
+         AS eff_to_ms,
+       (LEAD(ms) OVER (PARTITION BY o_custkey ORDER BY ms, o_orderkey)
+         IS NULL) AS is_current
 FROM changes
 """,
 )
@@ -68,7 +69,11 @@ def cdc_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = feed.filter(
         F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus"))
     )
-    w_ver = Window.partitionBy("o_custkey").orderBy("ms")
+    # ms alone is not a total order: two same-day changes (distinct orders,
+    # alternating status) tie on ms, and engines may chain the versions in
+    # either order. o_orderkey — the change feed's own sequence column —
+    # breaks the tie identically everywhere (caught at sf0.1).
+    w_ver = Window.partitionBy("o_custkey").orderBy("ms", "o_orderkey")
     eff_to = F.lead("ms").over(w_ver)
     return changes.select(
         "o_custkey",

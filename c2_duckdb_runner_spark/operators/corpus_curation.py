@@ -164,11 +164,16 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# quality_classifier_linear weights: (intercept, stopword fraction, mean
-# word length, capped length, digit fraction). Plausible hand-set values —
-# the operator demonstrates the model-APPLICATION shape; training happens
-# offline and ships as a conf/broadcast in production.
-_QC_W = ("-1.5", "2.5", "0.35", "1.2", "-3.0")
+# quality_classifier_linear weights ×100: (intercept, stopword fraction,
+# mean word length, capped length, digit fraction) = (-1.5, 2.5, 0.35,
+# 1.2, -3.0). Plausible hand-set values — the operator demonstrates the
+# model-APPLICATION shape; training happens offline and ships as a
+# conf/broadcast in production. Integer weights because the whole logit is
+# computed in exact int64 arithmetic (see docstring).
+_QC_NUM = (
+    "(-30000 * nw * nc + 50000 * ns * nc + 7000 * (nc - nw + 1) * nc "
+    "+ 120 * least(nw, 200) * nw * nc - 60000 * nd * nw)"
+)
 
 
 @register(
@@ -178,78 +183,71 @@ WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc
   FROM documents
 ), f AS (
-  SELECT doc_id,
+  SELECT doc_id, nc,
          len(toks) AS nw,
-         len(list_filter(toks, t -> t IN ({_GSTOPS}))) * 1.0 / len(toks)
-           AS stop_frac,
-         (nc - (len(toks) - 1)) * 1.0 / len(toks) AS mean_wl,
-         least(len(toks), 200) / 200.0 AS cap_nw,
-         (nc - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / nc
-           AS digit_frac
+         len(list_filter(toks, t -> t IN ({_GSTOPS}))) AS ns,
+         nc - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
   FROM t
 )
 SELECT doc_id,
-       ROUND(({_QC_W[0]}) + ({_QC_W[1]}) * stop_frac
-             + ({_QC_W[2]}) * mean_wl + ({_QC_W[3]}) * cap_nw
-             + ({_QC_W[4]}) * digit_frac, 6) AS score,
-       (({_QC_W[0]}) + ({_QC_W[1]}) * stop_frac
-             + ({_QC_W[2]}) * mean_wl + ({_QC_W[3]}) * cap_nw
-             + ({_QC_W[4]}) * digit_frac) > 0 AS keep
+       CAST(CASE WHEN {_QC_NUM} >= 0
+            THEN ({_QC_NUM} * 2000000 + 20000 * nw * nc)
+                 // (2 * 20000 * nw * nc)
+            ELSE -((-({_QC_NUM}) * 2000000 + 20000 * nw * nc)
+                 // (2 * 20000 * nw * nc)) END AS BIGINT) AS score_e6,
+       {_QC_NUM} > 0 AS keep
 FROM f
 """,
 )
 def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter — the learned complement to the rule-based
     gopher gate: a linear classifier over cheap text features (stopword
-    fraction, mean word length, capped length, digit fraction) scores every
-    document and thresholds at logit 0. This is the fastText/logreg-filter
-    shape (CCNet, DCLM — public) with the weights inlined; swapping in real
-    trained weights changes only the constant vector, never the plan.
+    fraction, mean word length ((nc−nw+1)/nw), capped length, digit
+    fraction) scores every document and thresholds at logit 0. This is the
+    fastText/logreg-filter shape (CCNet, DCLM — public) with the weights
+    inlined; real trained weights change only the constant vector.
 
-    Scale/determinism design: features are ratios of INTEGER counts, the
-    logit is one fixed-order polynomial over them — no transcendentals, no
-    aggregation, so both engines compute bit-identical doubles and the
-    keep bit can never sit on a rounding boundary ULP apart. Map-only:
-    zero shuffles at any corpus size; Catalyst fuses the whole thing into
-    one codegen'd projection over the scan."""
+    Determinism design: the logit z = w·f is a sum of INTEGER-count ratios
+    with rational weights, so it is computed as one exact int64 NUMERATOR
+    over the common denominator 20000·nw·nc — the keep bit is an integer
+    comparison (NO float boundary exists at all), and the score ships as
+    INTEGER MICRO-UNITS (round-half-up integer division), never as a
+    rounded double. Two prior formulations both failed at sf0.1: a float
+    polynomial differed by 1 ULP between engines, and even the exact
+    double quotient hit a decimal half-way point (1.0404375) that Spark's
+    BigDecimal round and DuckDB's binary round resolve differently —
+    integer micro-units are the only boundary-free representation (same
+    discipline as the PageRank micro-rank). Map-only: zero shuffles; one
+    codegen'd projection."""
     t = (
         load(spark, sf_dir, "documents")
         .withColumn("toks", F.split("text", " "))
-        .withColumn("nc", F.length("text"))
-        .withColumn("nw", F.size("toks"))
+        .withColumn("nc", F.length("text").cast("long"))
+        .withColumn("nw", F.size("toks").cast("long"))
     )
     f = t.select(
         "doc_id",
+        "nc",
+        "nw",
+        F.expr(f"CAST(size(filter(toks, t -> t IN ({_GSTOPS}))) AS LONG)")
+        .alias("ns"),
         (
-            F.expr(f"size(filter(toks, t -> t IN ({_GSTOPS})))")
-            * 1.0
-            / F.col("nw")
-        ).alias("stop_frac"),
-        ((F.col("nc") - (F.col("nw") - 1)) * 1.0 / F.col("nw")).alias(
-            "mean_wl"
-        ),
-        (F.least(F.col("nw"), F.lit(200)) / 200.0).alias("cap_nw"),
-        (
-            (
-                F.col("nc")
-                - F.length(F.regexp_replace("text", "[0-9]", ""))
-            )
-            * 1.0
-            / F.col("nc")
-        ).alias("digit_frac"),
+            F.col("nc")
+            - F.length(F.regexp_replace("text", "[0-9]", "")).cast("long")
+        ).alias("nd"),
     )
-    w0, w1, w2, w3, w4 = (float(w) for w in _QC_W)
-    z = (
-        F.lit(w0)
-        + F.lit(w1) * F.col("stop_frac")
-        + F.lit(w2) * F.col("mean_wl")
-        + F.lit(w3) * F.col("cap_nw")
-        + F.lit(w4) * F.col("digit_frac")
+    num = F.expr(_QC_NUM)
+    half_up = F.when(
+        num >= 0, F.expr(f"({_QC_NUM} * 2000000 + 20000 * nw * nc) div (2 * 20000 * nw * nc)")
+    ).otherwise(
+        -F.expr(
+            f"(-({_QC_NUM}) * 2000000 + 20000 * nw * nc) div (2 * 20000 * nw * nc)"
+        )
     )
     return f.select(
         "doc_id",
-        F.round(z, 6).alias("score"),
-        (z > 0).alias("keep"),
+        half_up.cast("bigint").alias("score_e6"),
+        (num > 0).alias("keep"),
     )
 
 

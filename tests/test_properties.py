@@ -380,7 +380,12 @@ def test_quality_classifier_keep_matches_score_sign(spark, sf_dir):
     ).collect()
     assert rows
     for r in rows:
-        assert r["keep"] == (r["score"] > 0), r
+        # keep is the exact integer sign; score_e6 is micro-unit rounded,
+        # so they agree up to the half-micro-unit band around zero
+        if r["keep"]:
+            assert r["score_e6"] >= 0, r
+        else:
+            assert r["score_e6"] <= 0, r
     # the hand-set weights must actually separate: both classes present
     kept = sum(1 for r in rows if r["keep"])
     assert 0 < kept
