@@ -509,3 +509,33 @@ def test_mode_exact_two_chained_aggs(q):
     plan = pi.formatted_plan(df)
     assert pi.shuffle_count(df) == 2, plan[:500]
     assert "Window" not in plan
+
+
+def test_quality_classifier_is_map_only(q):
+    """The model-application filter must be one codegen'd projection over
+    the scan: zero shuffles at any corpus size."""
+    df = q("quality_classifier_linear")
+    assert pi.shuffle_count(df) == 0
+    assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_semantic_keep_no_cartesian(q):
+    """SemDeDup keep-decision: pairs stay cell-blocked, the dropped-id side
+    joins back without any cartesian product."""
+    plan = pi.formatted_plan(q("dedup_semantic_keep"))
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_matvec_broadcasts_vector(q):
+    """Power-iteration matvecs must broadcast the d-row vector, never
+    shuffle the matrix side for the join."""
+    df = q("embed_pca_power_iter")
+    assert pi.broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_gaps_islands_single_partitioning(q):
+    """distinct, window, and final group-by all key on user_id; the plan
+    must not exceed the two logical shuffles (hour-distinct + user window;
+    the final agg reuses the window's partitioning)."""
+    assert pi.shuffle_count(q("window_gaps_islands")) <= 2
