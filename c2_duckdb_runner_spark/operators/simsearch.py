@@ -353,3 +353,78 @@ def simsearch_range_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("vec_id") != _QUERY_ID) & (F.col("cos") >= _RANGE_TAU))
         .select("vec_id", "label", "cos")
     )
+
+
+_MRL_DIMS = 16
+_COARSE_K = 50
+
+_DUCK_COS16 = (
+    f"ROUND(list_reduce(list_transform(range(1, {_MRL_DIMS + 1}), "
+    "i -> n.v[i] * q.qv[i]), (x, y) -> x + y) / ("
+    f"sqrt(list_reduce(list_transform(n.v[1:{_MRL_DIMS}], x -> x * x), "
+    "(a, b) -> a + b)) * "
+    f"sqrt(list_reduce(list_transform(q.qv[1:{_MRL_DIMS}], x -> x * x), "
+    "(a, b) -> a + b))), 6)"
+)
+
+
+@register(
+    "simsearch_matryoshka_twostage",
+    oracle=f"""
+WITH {_DUCK_BASE},
+c16 AS (
+  SELECT n.vec_id AS vec_id, n.label AS label,
+         {_DUCK_COS16} AS cos16, {_DUCK_COS} AS cos
+  FROM n, q WHERE n.vec_id <> 1
+),
+coarse AS (
+  SELECT * FROM c16 ORDER BY cos16 DESC, vec_id ASC LIMIT {_COARSE_K}
+)
+SELECT vec_id, label, cos16, cos
+FROM coarse ORDER BY cos DESC, vec_id ASC LIMIT {_TOP_K}
+""",
+)
+def simsearch_matryoshka_twostage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage retrieval with Matryoshka truncation (Kusupati et al.,
+    2022 — public): stage 1 scores the corpus on the FIRST 16 of 64
+    dimensions only (4× less arithmetic and, at scale, 4× less index
+    memory — the point of MRL-trained embeddings), keeps the top 50
+    candidates; stage 2 reranks just those with the exact full-dimension
+    cosine and emits the final top 10.
+
+    This is THE production ANN serving shape: a cheap recall stage over
+    everything, an exact precision stage over a constant-size candidate
+    set. Plan: both stages are TakeOrderedAndProject (k rows per
+    partition, no corpus shuffle); the rerank touches 50 rows however
+    big the corpus is. Truncated and full cosines use the same
+    ordered-fold + round-6 discipline as every simsearch query."""
+    s = _scored(spark, sf_dir).filter(F.col("vec_id") != _QUERY_ID)
+    d = _MRL_DIMS
+    cos16 = F.round(
+        F.expr(
+            f"aggregate(zip_with(slice(v, 1, {d}), slice(qv, 1, {d}), "
+            "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        )
+        / (
+            F.expr(
+                f"sqrt(aggregate(transform(slice(v, 1, {d}), x -> x * x), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+            )
+            * F.expr(
+                f"sqrt(aggregate(transform(slice(qv, 1, {d}), x -> x * x), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+            )
+        ),
+        6,
+    )
+    coarse = (
+        s.withColumn("cos16", cos16)
+        .select("vec_id", "label", "cos16", "cos")
+        .orderBy(F.col("cos16").desc(), F.col("vec_id").asc())
+        .limit(_COARSE_K)
+    )
+    return coarse.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(
+        _TOP_K
+    )
