@@ -417,36 +417,3 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count("*").alias("n"),
     )
-
-
-@register(
-    "agg_mode_exact",
-    oracle="""
-WITH c AS (
-  SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
-  FROM orders GROUP BY o_custkey, o_orderpriority
-)
-SELECT o_custkey,
-       (MAX({'c': cnt, 'p': o_orderpriority})).p AS mode_priority,
-       CAST(MAX(cnt) AS BIGINT) AS mode_count
-FROM c GROUP BY o_custkey
-""",
-)
-def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group mode (most frequent value) with a deterministic
-    tie-break: two chained hash aggregates — (group, value) counts, then
-    max-of-(count, value)-struct per group. No window pass, both shuffles
-    map-side combinable; ties resolve to the lexicographically LARGEST
-    value at equal count in both engines (struct comparison orders by
-    count, then value)."""
-    c = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderpriority")
-        .agg(F.count("*").alias("cnt"))
-    )
-    return c.groupBy("o_custkey").agg(
-        F.max(
-            F.struct(F.col("cnt").alias("c"), F.col("o_orderpriority").alias("p"))
-        )["p"].alias("mode_priority"),
-        F.max("cnt").alias("mode_count"),
-    )
