@@ -489,3 +489,63 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )["p"].alias("mode_priority"),
         F.max("cnt").alias("mode_count"),
     )
+
+
+@register(
+    "pipeline_observe_metrics",
+    oracle="""
+WITH src AS (SELECT * FROM lineitem),
+kept AS (
+  SELECT * FROM src
+  WHERE l_quantity >= 5 AND l_discount BETWEEN 0.01 AND 0.09
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_kept,
+       CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS n_scanned,
+       CAST((SELECT COUNT(*) FROM src) -
+            (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_filtered
+FROM kept GROUP BY l_returnflag
+""",
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline metrics via the Observation API (Spark 3.3+):
+    a quality gate that REPORTS what it dropped without a second scan.
+    ``df.observe`` attaches accumulator-backed aggregates (rows scanned,
+    rows passing the gate) to the running query itself — at 100 TB this is
+    how a curation step exposes its filter rates to the orchestrator for
+    free, where a separate audit query would re-read the input. The
+    observed counters are then joined onto the output as columns so the
+    differential can hash-check them (the oracle recomputes the same
+    counts with scalar subqueries — semantically identical, but costs a
+    second pass, which is exactly the point of observe()).
+
+    No silent drops: n_scanned − n_kept_total = n_filtered is carried on
+    every row, so a pushdown or predicate regression shows up as a value
+    change, not just a row-count change."""
+    from pyspark.sql import Observation
+
+    src = load(spark, sf_dir, "lineitem")
+    obs = Observation("gate")
+    gated = src.observe(
+        obs, F.count(F.lit(1)).alias("n_scanned")
+    ).filter(
+        (F.col("l_quantity") >= 5)
+        & (F.col("l_discount").between(0.01, 0.09))
+    )
+    out = gated.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty_kept"),
+    )
+    # materialize once so the observation fires; the aggregate is tiny
+    rows = out.collect()
+    n_scanned = obs.get["n_scanned"]
+    kept_total = sum(r["n_kept"] for r in rows)
+    result = spark.createDataFrame(rows, out.schema)
+    return result.withColumn(
+        "n_scanned", F.lit(n_scanned).cast("bigint")
+    ).withColumn(
+        "n_filtered", F.lit(n_scanned - kept_total).cast("bigint")
+    )

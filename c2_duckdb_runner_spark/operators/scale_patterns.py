@@ -347,3 +347,100 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+_IVL_MS = 30 * 86_400_000  # 30-day interval length and band width
+
+
+@register(
+    "join_interval_overlap_banded",
+    oracle=f"""
+WITH a AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS s,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + {_IVL_MS} AS e
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+b AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS s,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + {_IVL_MS} AS e
+  FROM orders WHERE o_orderpriority = '5-LOW'
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS urgent_key, b.o_orderkey AS low_key,
+       CAST((least(a.e, b.e) - greatest(a.s, b.s)) // 86400000 AS INT)
+         AS overlap_days
+FROM a JOIN b
+  ON a.o_custkey = b.o_custkey AND a.s < b.e AND b.s < a.e
+""",
+)
+def join_interval_overlap_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-OVERLAP join as a banded equi-join: per customer, every
+    (urgent-order window ⨯ low-order window) pair whose 30-day validity
+    intervals overlap. The oracle states the textbook theta form
+    (a.s < b.e AND b.s < a.e); the Spark plan replicates each interval
+    into the 30-day band(s) it spans (≤ 2 here), hash-joins on
+    (custkey, band), re-checks the exact overlap, and emits each pair
+    EXACTLY ONCE by keeping only the band containing
+    greatest(a.start, b.start) — no DISTINCT pass needed, no nested loop
+    anywhere. This generalizes join_range_banded (point-in-band) to
+    interval-vs-interval: SCD validity joins, IP-range joins, and
+    meeting/session overlap all take this exact shape at 100 TB, with the
+    band width chosen ≈ the typical interval length so replication stays
+    O(1) per row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("s"),
+    ).withColumn("e", F.col("s") + F.lit(_IVL_MS))
+
+    def banded(df, prio):
+        return (
+            df.filter(F.col("o_orderpriority") == prio)
+            .withColumn(
+                "band",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"s div {_IVL_MS}"),
+                        F.expr(f"(e - 1) div {_IVL_MS}"),
+                    )
+                ),
+            )
+            .drop("o_orderpriority")
+        )
+
+    a = banded(o, "1-URGENT").alias("a")
+    b = banded(o, "5-LOW").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e"))
+        # exactly-once: a pair sharing k bands matches only in the band
+        # where the later interval starts
+        & (
+            F.col("a.band")
+            == F.floor(
+                F.greatest(F.col("a.s"), F.col("b.s")) / F.lit(_IVL_MS)
+            )
+        ),
+    )
+    return joined.select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("urgent_key"),
+        F.col("b.o_orderkey").alias("low_key"),
+        (
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            )
+            / F.lit(86_400_000)
+        )
+        .cast("int")
+        .alias("overlap_days"),
+    )
