@@ -230,3 +230,78 @@ def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, g.pos, g.w1, g.w2 "
         "FROM c2s_docs_ngram d, LATERAL c2s_ngrams(d.text, 2) g"
     )
+
+
+@register(
+    "udtf_table_partition_rle",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id
+  FROM events
+),
+t AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ms, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ms, event_id) AS rt
+  FROM e
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS run_len,
+       CAST(MIN(ms) AS BIGINT) AS run_start_ms
+FROM t GROUP BY user_id, event_type, rn - rt
+""",
+)
+def udtf_table_partition_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful UDTF over a PARTITIONED, ORDERED table argument (Spark 4:
+    ``udtf(TABLE(t) PARTITION BY k ORDER BY o)``): run-length encode each
+    user's event-type sequence — consecutive same-type events collapse to
+    (type, run_len, run_start). The engine delivers each user's rows to
+    ONE udtf instance in timestamp order (the shuffle/sort is planned by
+    Catalyst from the TVF syntax, not hand-built), eval() carries the open
+    run, terminate() flushes the last — the imperative per-key streaming
+    shape that pure SQL needs the two-row_number gaps-and-islands trick
+    for (which is exactly what the oracle uses, proving equivalence).
+    State is one run tuple per instance; Arrow-batched like every Python
+    boundary."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "user_id bigint, event_type string, run_len bigint, "
+        "run_start_ms bigint"
+    ))
+    class Rle:
+        def __init__(self):
+            self.user = None
+            self.etype = None
+            self.count = 0
+            self.start = None
+
+        def eval(self, row):
+            if row.event_type == self.etype and row.user_id == self.user:
+                self.count += 1
+                return
+            if self.count:
+                yield (self.user, self.etype, self.count, self.start)
+            self.user = row.user_id
+            self.etype = row.event_type
+            self.count = 1
+            self.start = row.ms
+
+        def terminate(self):
+            if self.count:
+                yield (self.user, self.etype, self.count, self.start)
+
+    spark.udtf.register("c2s_rle", Rle)
+    load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+    ).createOrReplaceTempView("c2s_events_rle")
+    return spark.sql(
+        "SELECT * FROM c2s_rle(TABLE(c2s_events_rle) "
+        "PARTITION BY user_id ORDER BY (ms, event_id))"
+    )

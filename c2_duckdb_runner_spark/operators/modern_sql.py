@@ -179,3 +179,38 @@ def sql_scripting_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized dynamic SQL (Spark 4 EXECUTE IMMEDIATE ... USING): the
+    query text is a value with :named parameter markers, bound at
+    execution — the safe templating surface for orchestrators that today
+    string-interpolate SQL (injection-proof: parameters are bound as
+    literals by the engine, never spliced as text). Session variables
+    carry the statement and the bindings; the inner plan optimizes exactly
+    as if written inline (constant-folded predicate pushdown — same as
+    sql_scripting_variables pins)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("c2s_orders_ei")
+    spark.sql("DECLARE OR REPLACE VARIABLE c2s_stmt STRING")
+    spark.sql(
+        "SET VAR c2s_stmt = "
+        "'SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM c2s_orders_ei "
+        "WHERE o_totalprice > :minprice AND o_orderstatus = :status "
+        "GROUP BY o_orderpriority'"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE c2s_stmt USING 150000.0 AS minprice, 'O' AS status"
+    )
