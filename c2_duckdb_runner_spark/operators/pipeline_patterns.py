@@ -549,3 +549,64 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_filtered", F.lit(n_scanned - kept_total).cast("bigint")
     )
+
+
+@register(
+    "window_session_builtin",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         CAST(value AS DECIMAL(18,6)) AS dval
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN ms - LAG(ms) OVER w >= 1800000 OR
+                   LAG(ms) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ms) AS BIGINT) AS start_ms,
+       CAST(MAX(ms) AS BIGINT) AS last_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dval) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_seq
+""",
+)
+def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILT-IN session windows in batch mode: ``groupBy(session_window(ts,
+    '30 minutes'), user_id)`` — the same dynamic-gap windows the streaming
+    query uses (stream_session_window), applied to a static table. One
+    aggregate, no window-function pass: Spark sorts within the user_id
+    shuffle and merges adjacent events whose gap < 30 min into one window
+    (an event at exactly +30 min starts a NEW session — the window is
+    half-open, which the oracle's >= boundary mirrors; the hash would
+    catch an off-by-one on the boundary). The manual lag/running-sum
+    formulation (sessionize_batch) exists alongside to show what the
+    built-in replaces."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,6)").alias("dval"),
+    )
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_millis("ts")).alias("start_ms"),
+            F.max(F.unix_millis("ts")).alias("last_ms"),
+            F.sum("dval").cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id", "start_ms", "last_ms", "n_events", "total_value"
+        )
+    )
