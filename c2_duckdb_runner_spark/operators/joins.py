@@ -352,3 +352,36 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total"),
         )
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY o_orderstatus
+""",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT: force a ShuffledHashJoin where Catalyst would
+    default to SortMergeJoin (both sides big, neither broadcastable).
+    Hash beats sort-merge when one side fits per-partition memory after
+    the shuffle — it skips BOTH sort passes — and at 100 TB picking it
+    deliberately for a known-smaller build side is a standard multi-
+    percent win; the hint is per-relation, so the optimizer keeps every
+    other choice. The RESULT is strategy-independent (what the oracle
+    hash-checks); tests/test_plans.py pins that the physical plan really
+    contains the hash join and no sort-merge."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    j = o.join(
+        c.hint("shuffle_hash"), c.c_custkey == o.o_custkey
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_sum"),
+    )

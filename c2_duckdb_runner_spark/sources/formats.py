@@ -412,3 +412,42 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_qty_sum"
         ),
     )
+
+
+@register(
+    "scan_parquet_bloom_filter",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(MIN(event_id) AS BIGINT) AS first_event "
+        "FROM events WHERE user_id = 7 GROUP BY event_type"
+    ),
+)
+def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTERS for point-lookup skipping: the layout write
+    enables `parquet.bloom.filter.enabled#user_id`, so each row group
+    carries a bloom filter on the high-cardinality key; a `user_id = 7`
+    probe can then skip row groups whose filter rules the value out —
+    the complement to min/max stats, which are useless for a key that
+    spans the full range in every row group (exactly the
+    shuffled-user-id case here). At 100 TB this is THE cheap fix for
+    needle-in-haystack lookups on non-layout keys: no re-sort, no index
+    service, ~1% file-size overhead. Result is layout-independent (the
+    filter re-applies after skipping), which is what the oracle checks."""
+    path = _out(sf_dir, "events_bloom")
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.repartition(8)  # several row groups so skipping has targets
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "10000")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("user_id") == 7)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+        )
+    )

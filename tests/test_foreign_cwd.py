@@ -25,6 +25,10 @@ _PICKLING_KEYS = [
     "source_python_datasource",
     "stream_python_source",
     "agg_countmin_freq",
+    # table-argument UDTF: the Rle class is defined inside the query fn so
+    # cloudpickle ships it by value; this guards against a refactor moving
+    # it to module level (which would pickle by reference and break)
+    "udtf_table_partition_rle",
 ]
 
 _SCRIPT = r"""

@@ -539,3 +539,11 @@ def test_gaps_islands_single_partitioning(q):
     must not exceed the two logical shuffles (hour-distinct + user window;
     the final agg reuses the window's partitioning)."""
     assert pi.shuffle_count(q("window_gaps_islands")) <= 2
+
+
+def test_join_hint_forces_shuffled_hash(q):
+    """The shuffle_hash hint must yield a ShuffledHashJoin (and no
+    sort-merge): at scale that is two saved sort passes."""
+    plan = pi.formatted_plan(q("join_hint_shuffle_hash"))
+    assert "ShuffledHashJoin" in plan, plan[:500]
+    assert "SortMergeJoin" not in plan
