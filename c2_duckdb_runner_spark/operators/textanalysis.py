@@ -19,6 +19,7 @@ Oracle-parity notes (every query here has a DuckDB twin):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -538,4 +539,56 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(last).cast("bigint").alias("n_after"),
         (F.size("m0") - F.size(last)).cast("bigint").alias("n_merged"),
         F.array_join(F.slice(last, 1, 8), " ").alias("head_tokens"),
+    )
+
+
+@register(
+    "text_normalize_nfc",
+    oracle="""
+SELECT doc_id,
+       nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8490))
+         AS norm_text,
+       length(nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8490)))
+         AS norm_len,
+       (nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8490))
+        = (text || ' cafe' || chr(769) || ' ' || chr(8490))) AS was_nfc
+FROM documents
+""",
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the step exact dedup silently REQUIRES:
+    'café' composed (U+00E9) and decomposed (e + U+0301) are different
+    byte strings with identical rendering, so un-normalized corpora leak
+    visual duplicates straight past sha2 dedup. The fixture text is ASCII,
+    so each doc gets a deterministic decomposed suffix planted in-query
+    (combining acute + the Kelvin sign K, which NFC maps to plain 'K') —
+    the normalizer must compose/fold exactly per UAX#15 in both engines
+    (Python unicodedata here, DuckDB's utf8proc-backed nfc_normalize in
+    the oracle; two independent implementations agreeing character-for-
+    character is the strongest check available).
+
+    Spark has no built-in normalizer, so this is a legitimate pandas UDF:
+    Arrow-batched, one str.normalize pass per batch, map-only — the
+    canonical 'small Python gap in a JVM pipeline' shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:  # noqa: F821 (resolved eagerly)
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    planted = F.concat(
+        # decomposed suffix spelled as escapes so no editor/encoding pass
+        # can silently re-compose it: COMBINING ACUTE + KELVIN SIGN
+        F.col("text"), F.lit(" cafe\u0301 \u212a")
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("raw")
+    )
+    return d.select(
+        "doc_id",
+        nfc(F.col("raw")).alias("norm_text"),
+        F.length(nfc(F.col("raw"))).alias("norm_len"),
+        (nfc(F.col("raw")) == F.col("raw")).alias("was_nfc"),
     )

@@ -451,3 +451,46 @@ def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event"),
         )
     )
+
+
+@register(
+    "scan_json_multiline",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'alpha', CAST(10.5 AS DOUBLE)),
+  (2, 'beta',  CAST(20.25 AS DOUBLE)),
+  (3, 'gamma', CAST(NULL AS DOUBLE)),
+  (4, 'delta', CAST(-1.75 AS DOUBLE))
+) AS t(id, name, score)
+""",
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiLine JSON: one pretty-printed JSON ARRAY spanning many lines —
+    the export format of most REST APIs and admin consoles, which the
+    default JSON-Lines reader shreds into parse errors. ``multiLine=true``
+    parses whole-document; the cost model flips with it: a multiLine file
+    is ONE split (no intra-file parallelism), so at scale the pattern is
+    many medium files, not one giant array — which is exactly how the
+    fixture is written. Deterministic 4-record fixture → oracle by
+    construction (VALUES)."""
+    path = _out(sf_dir, "api_export_json")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        doc = """[
+  {"id": 1, "name": "alpha", "score": 10.5},
+  {"id": 2, "name": "beta",
+   "score": 20.25},
+  {"id": 3, "name": "gamma", "score": null},
+  {"id": 4,
+   "name": "delta", "score": -1.75}
+]"""
+        with open(os.path.join(path, "export.json"), "w") as fh:
+            fh.write(doc)
+        with open(marker, "w") as fh:
+            fh.write("")
+    return (
+        spark.read.schema("id int, name string, score double")
+        .option("multiLine", "true")
+        .json(os.path.join(path, "export.json"))
+    )
