@@ -494,3 +494,36 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", "true")
         .json(os.path.join(path, "export.json"))
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle=(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE XML file format (Spark 4 — the spark-xml package folded into
+    core): write nation as <nation>…</nation> row elements, read back with
+    rowTag. XML is still how B2B/regulatory feeds arrive (ISO 20022,
+    HL7, SEC filings); first-class source/sink means those feeds join the
+    lake without a preprocessing service. Round-trip must equal the
+    parquet original (the oracle). Like multiLine JSON, row elements can
+    span lines, but files split per top-level record boundary, so
+    parallelism survives within large documents."""
+    path = _out(sf_dir, "nation_xml")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nation.schema)
+        .load(path)
+    )
