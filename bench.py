@@ -77,6 +77,14 @@ HEADLINE = [
     "source_python_datasource",  # Python DataSource: Arrow-batch source path
     "agg_countmin_freq",        # mergeable Count-Min frequency sketches
     "dedup_duplicate_spans",    # substring-level dedup (rolling window hashes)
+    "dedup_semantic_keep",      # SemDeDup keep/drop decision (cell-blocked)
+    "embed_pca_power_iter",     # distributed PCA: Gram reduce + matvec rounds
+    "agg_theta_set_ops",        # theta-sketch audience set algebra
+    "simsearch_matryoshka_twostage",  # truncated-dim recall + exact rerank
+    "join_interval_overlap_banded",   # interval-overlap as banded equi-join
+    "quality_classifier_linear",      # model-based filter, integer-exact logit
+    "graph_bfs_multisource",    # BFS levels: per-round relax + min-fold
+    "window_session_builtin",   # built-in session windows in batch
 ]
 
 
