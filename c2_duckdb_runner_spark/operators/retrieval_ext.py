@@ -1,0 +1,359 @@
+"""Round-3 retrieval/graph-similarity extensions.
+
+Three operators from the retrieval side of a training-data platform,
+reachable in the reference only through its delegated SQL slot
+(``main.cc:181-182``):
+
+- MMR diversified reranking (the de-dup step of retrieval-augmented
+  pipelines: top-k that is relevant AND mutually dissimilar);
+- neighborhood Jaccard similarity over the trade graph (who shares
+  customers with whom — the co-engagement similarity measure);
+- IPv4 parsing / subnet rollup (network-telemetry normalization).
+
+Determinism: every float op is an index-ordered fold or a max over
+bit-identical doubles (no transcendental functions, no unordered float
+SUM); selection steps are total-ordered (score DESC, vec_id ASC); all
+ratios are integer ppm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# simsearch_rerank_mmr
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_QUERY_ID = 1
+
+# Unrounded cosine between two (v, nrm) pairs — strict left-to-right fold so
+# Spark's aggregate(zip_with(...), 0.0, +) and DuckDB's seedless
+# list_reduce(list_transform(range...)) produce the SAME double (the 0.0
+# seed is absorbed exactly by the first IEEE add).
+_DUCK_PAIR_COS = (
+    "list_reduce(list_transform(range(1, 65), i -> p.v[i] * s.v[i]), "
+    "(x, y) -> x + y) / (p.nrm * s.nrm)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unroll the greedy MMR selection as a DuckDB CTE chain.
+
+    Step r scores every not-yet-selected pool member as
+    (cosq − max_sim_to_selected)/2  (λ = 0.5) and takes the total-ordered
+    argmax — exactly the DataFrame loop, step for step.
+    """
+    base = """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+           AS nrm
+  FROM e
+),
+q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 1),
+pool AS (
+  SELECT n.vec_id AS vec_id, n.v AS v, n.nrm AS nrm,
+         list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]),
+                     (x, y) -> x + y) / (n.nrm * q.qnrm) AS cosq
+  FROM n, q WHERE n.vec_id <> 1
+  ORDER BY cosq DESC, vec_id ASC LIMIT 20
+),
+s1 AS (
+  SELECT vec_id, 1 AS sel_rank, cosq AS mmr_score FROM pool
+  ORDER BY cosq DESC, vec_id ASC LIMIT 1
+)"""
+    steps = []
+    for r in range(2, _MMR_K + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        steps.append(
+            f"""
+st{r} AS (
+  SELECT p.vec_id AS vec_id, p.cosq AS cosq,
+         MAX({_DUCK_PAIR_COS}) AS max_sim
+  FROM pool p JOIN pool s ON s.vec_id IN ({prev_ids})
+  WHERE p.vec_id NOT IN ({prev_ids})
+  GROUP BY p.vec_id, p.cosq
+),
+s{r} AS (
+  SELECT vec_id, {r} AS sel_rank, (cosq - max_sim) / 2 AS mmr_score
+  FROM st{r} ORDER BY (cosq - max_sim) / 2 DESC, vec_id ASC LIMIT 1
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, _MMR_K + 1))
+    return f"WITH {base},{','.join(steps)}\n{union}"
+
+
+@register("simsearch_rerank_mmr", oracle=_mmr_oracle())
+def simsearch_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) diversified rerank — the retrieval
+    dedup: RAG and hard-negative-mining pipelines fetch a top-k that is
+    relevant to the query but NOT mutually redundant. Greedy MMR picks the
+    best candidate, then repeatedly the one maximizing
+    λ·cos(q,·) − (1−λ)·max-sim-to-already-picked (λ = ½, so each score is
+    one subtract + one exact halving — bit-identical cross-engine).
+
+    Scale shape: stage 1 is the standard no-corpus-shuffle recall pass
+    (broadcast query, TakeOrdered top-20); the greedy loop then runs over
+    that BOUNDED pool — localCheckpointed once so the corpus scan never
+    re-executes — with each of the k−1 steps a broadcast cross of ≤ pool
+    rows against ≤ k selected vectors. The sequential part of the
+    algorithm touches k·pool rows total, never the corpus: the same
+    reduce-first-recurse-small discipline as ts_ewma_smooth. Oracle:
+    the identical greedy unrolled as a DuckDB CTE chain (the
+    simsearch_kmeans_train technique)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE),"
+                " (a, b) -> a + b))"
+            ),
+        )
+        .select("vec_id", "v", "nrm")
+    )
+    q = e.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pool = (
+        e.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosq",
+            F.expr(
+                "aggregate(zip_with(v, qv, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b) / (nrm * qnrm)"
+            ),
+        )
+        .select("vec_id", "v", "nrm", "cosq")
+        .orderBy(F.desc("cosq"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint()  # pool is k·4 rows; corpus scan must not re-run
+    )
+    sel = (
+        pool.orderBy(F.desc("cosq"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id", F.lit(1).alias("sel_rank"), F.col("cosq").alias("mmr_score")
+        )
+    )
+    pair_cos = (
+        "aggregate(zip_with(v, sv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        "(a, b) -> a + b) / (nrm * snrm)"
+    )
+    for r in range(2, _MMR_K + 1):
+        chosen = pool.join(sel.select("vec_id"), "vec_id", "semi").select(
+            F.col("v").alias("sv"), F.col("nrm").alias("snrm")
+        )
+        scored = (
+            pool.join(sel.select("vec_id"), "vec_id", "anti")
+            .crossJoin(F.broadcast(chosen))
+            .withColumn("sim", F.expr(pair_cos))
+            .groupBy("vec_id", "cosq")
+            .agg(F.max("sim").alias("max_sim"))
+            .withColumn("score", (F.col("cosq") - F.col("max_sim")) / 2)
+        )
+        nxt = (
+            scored.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                F.lit(r).alias("sel_rank"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        sel = sel.union(nxt)
+    return sel
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_neighbor_sim
+# ---------------------------------------------------------------------------
+
+_DEG_CAP = 64
+_SIM_TOP = 20
+
+
+@register(
+    "graph_jaccard_neighbor_sim",
+    oracle=f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cdeg AS (SELECT c, COUNT(*) AS cd FROM cs GROUP BY c),
+kept AS (
+  SELECT cs.c, cs.s FROM cs JOIN cdeg ON cdeg.c = cs.c
+  WHERE cd <= {_DEG_CAP}
+),
+sdeg AS (SELECT s, COUNT(*) AS d FROM kept GROUP BY s),
+inter AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(d1.d + d2.d - n_shared AS BIGINT) AS n_union,
+       CAST(n_shared * 1000000 // (d1.d + d2.d - n_shared) AS BIGINT)
+         AS jaccard_ppm
+FROM inter JOIN sdeg d1 ON d1.s = inter.s1 JOIN sdeg d2 ON d2.s = inter.s2
+ORDER BY jaccard_ppm DESC, s1 ASC, s2 ASC
+LIMIT {_SIM_TOP}
+""",
+)
+def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity — which suppliers serve the most
+    similar customer sets (|N(a)∩N(b)| / |N(a)∪N(b)|): the co-engagement
+    similarity used for related-item graphs and entity resolution, top-20
+    most-similar pairs.
+
+    Scale shape: the candidate-pair generator is the customer-keyed wedge
+    self-join, whose worst key contributes deg² rows — so SUPER-NODES ARE
+    FENCED FIRST (customers touching > {_DEG_CAP} suppliers are dropped,
+    the standard stop-word-node rule from similarity mining: a customer
+    connected to everything certifies nothing about similarity and only
+    quadratically inflates the shuffle). With the cap, per-key expansion is
+    ≤ {_DEG_CAP}² slim int-pair rows. Intersections reduce map-side on
+    (s1, s2); degrees are a supplier-sized table joined back; the final
+    TakeOrdered keeps the output k-bounded. Jaccard is exact integer ppm.
+    The cap is part of the declared semantics (the oracle applies it
+    identically), not a silent truncation."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = cs.groupBy("c").agg(F.count("*").alias("cd"))
+    kept = cs.join(cdeg.filter(F.col("cd") <= _DEG_CAP), "c").select("c", "s")
+    sdeg = kept.groupBy("s").agg(F.count("*").alias("d"))
+    a = kept.alias("a")
+    b = kept.select(F.col("c"), F.col("s").alias("s2"))
+    inter = (
+        a.join(b, (a["c"] == b["c"]) & (a["s"] < b["s2"]))
+        .groupBy(a["s"].alias("s1"), "s2")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        inter.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (F.col("d1") + F.col("d2") - F.col("n_shared"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr(
+                "CAST(n_shared * 1000000 div (d1 + d2 - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), F.asc("s1"), F.asc("s2"))
+        .limit(_SIM_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_ipv4_parse
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_ipv4_parse",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ip AS (
+  SELECT user_id,
+         CASE WHEN user_id % 4 = 0 THEN '10' ELSE '172' END
+         || '.' || CAST(user_id % 256 AS VARCHAR)
+         || '.' || CAST((user_id * 7) % 256 AS VARCHAR)
+         || '.' || CAST((user_id * 13) % 251 + 1 AS VARCHAR) AS addr
+  FROM u
+),
+oct AS (
+  SELECT user_id, addr,
+         CAST(string_split(addr, '.')[1] AS BIGINT) AS o1,
+         CAST(string_split(addr, '.')[2] AS BIGINT) AS o2,
+         CAST(string_split(addr, '.')[3] AS BIGINT) AS o3,
+         CAST(string_split(addr, '.')[4] AS BIGINT) AS o4
+  FROM ip
+)
+SELECT o1 || '.' || o2 || '.' || o3 || '.0/24' AS subnet,
+       (o1 = 10) AS is_private,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(MIN(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4) AS BIGINT)
+         AS min_ip_num,
+       CAST(MAX(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4) AS BIGINT)
+         AS max_ip_num
+FROM oct GROUP BY o1, o2, o3
+""",
+)
+def fn_ipv4_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parsing + /24 subnet rollup — the network-telemetry
+    normalization layer (abuse detection, geo rollups, rate limiting all
+    start from octet decomposition and integer address math). Addresses
+    are constructed deterministically per user (fixture-by-construction,
+    same discipline as fn_url_parse / dedup_url_canonical), then parsed
+    back: split → octets → 32-bit integer form → /24 aggregate with an
+    RFC-1918 flag.
+
+    All codegen'd string/integer expressions, map-only until the one
+    subnet-keyed rollup — the same plan a 100 TB flow-log table would
+    want (and the /24 prefix is the natural partition key for it)."""
+    u = load(spark, sf_dir, "events").select("user_id").distinct()
+    ip = u.selectExpr(
+        "user_id",
+        "CASE WHEN user_id % 4 = 0 THEN '10' ELSE '172' END || '.' || "
+        "CAST(user_id % 256 AS STRING) || '.' || "
+        "CAST((user_id * 7) % 256 AS STRING) || '.' || "
+        "CAST((user_id * 13) % 251 + 1 AS STRING) AS addr",
+    )
+    oct_ = ip.selectExpr(
+        "user_id",
+        "addr",
+        "CAST(split(addr, '[.]')[0] AS BIGINT) AS o1",
+        "CAST(split(addr, '[.]')[1] AS BIGINT) AS o2",
+        "CAST(split(addr, '[.]')[2] AS BIGINT) AS o3",
+        "CAST(split(addr, '[.]')[3] AS BIGINT) AS o4",
+    )
+    return (
+        oct_.withColumn(
+            "ip_num",
+            F.col("o1") * 16777216
+            + F.col("o2") * 65536
+            + F.col("o3") * 256
+            + F.col("o4"),
+        )
+        .groupBy("o1", "o2", "o3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hosts"),
+            F.min("ip_num").cast("bigint").alias("min_ip_num"),
+            F.max("ip_num").cast("bigint").alias("max_ip_num"),
+        )
+        .select(
+            F.concat(F.concat_ws(".", "o1", "o2", "o3"), F.lit(".0/24")).alias(
+                "subnet"
+            ),
+            (F.col("o1") == 10).alias("is_private"),
+            "n_hosts",
+            "min_ip_num",
+            "max_ip_num",
+        )
+    )

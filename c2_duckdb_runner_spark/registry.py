@@ -95,6 +95,8 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.sources.formats  # noqa: F401
     import c2_duckdb_runner_spark.sources.python_datasource  # noqa: F401
     import c2_duckdb_runner_spark.streaming.queries  # noqa: F401
+    import c2_duckdb_runner_spark.operators.curation_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.retrieval_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
