@@ -547,3 +547,87 @@ def test_join_hint_forces_shuffled_hash(q):
     plan = pi.formatted_plan(q("join_hint_shuffle_hash"))
     assert "ShuffledHashJoin" in plan, plan[:500]
     assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(q):
+    """The per-type sufficient-stats table is |types| rows: it must come
+    back as a broadcast join, never a shuffle of the hourly fact side."""
+    df = q("ts_anomaly_zscore")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_vocab_coverage_broadcasts_vocab(q):
+    """The top-64 vocab is driver-sized; the corpus-side token stream must
+    join it broadcast (no corpus re-shuffle beyond the per-doc rollup)."""
+    df = q("tokenizer_vocab_coverage")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_norm_outlier_scalar_fences_broadcast(q):
+    """The [p1,p99] fences are one 2-field row re-entering as a broadcast
+    nested loop (scalar-subquery shape); the corpus itself must not
+    sort-merge or cartesian for it."""
+    df = q("embed_norm_outlier")
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_asof_nearest_single_window_pass(q):
+    """Nearest as-of = ONE user_id window pass computing both carries —
+    no join node at all, exactly one shuffle besides the fixture spread."""
+    df = q("join_asof_nearest")
+    plan = pi.formatted_plan(df)
+    assert "Join" not in plan, plan[:800]
+    assert pi.shuffle_count(df) == 1
+
+
+def test_jaccard_neighbor_no_cartesian_degrees_broadcast(q):
+    """Wedge generation stays a customer-keyed equi-join (no cartesian);
+    the supplier-degree tables come back broadcast."""
+    df = q("graph_jaccard_neighbor_sim")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.broadcast_join_count(df) >= 2
+
+
+def test_mmr_pool_is_bounded_no_corpus_rescan(q):
+    """After the recall stage the greedy loop must run over the
+    checkpointed 20-row pool: the final plan may contain no parquet scan
+    of the embeddings corpus at all."""
+    df = q("simsearch_rerank_mmr")
+    assert pi.scan_count(df) == 0, pi.simple_plan(df)[:500]
+
+
+def test_url_canonical_rollup_only_shuffles(q):
+    """Canonicalization is a map-side projection; the only exchanges are
+    the rollup's two-level distinct aggregate ((canon, url) partial then
+    canon final — the COUNT(DISTINCT url) rewrite), both keyed on the
+    canonical URL. Anything beyond 2 means the projection started
+    shuffling."""
+    assert pi.shuffle_count(q("dedup_url_canonical")) <= 2
+
+
+def test_kcenter_no_corpus_shuffle(q):
+    """Farthest-first rounds are broadcast + map-only + TakeOrdered over
+    the checkpointed state: the final selection plan must contain no
+    sort-merge join and no corpus exchange."""
+    df = q("sample_coreset_kcenter")
+    assert pi.sortmerge_join_count(df) == 0
+    plan = pi.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_baseline_broadcasts(q):
+    """The |types|x24 baseline re-enters broadcast; the daily-count fact
+    side must not sort-merge."""
+    df = q("ts_seasonal_hour_baseline")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_codec_roundtrip_map_only(q):
+    """Codec family is a pure projection: zero shuffles."""
+    assert pi.shuffle_count(q("fn_codec_roundtrip")) == 0
