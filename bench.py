@@ -85,6 +85,14 @@ HEADLINE = [
     "quality_classifier_linear",      # model-based filter, integer-exact logit
     "graph_bfs_multisource",    # BFS levels: per-round relax + min-fold
     "window_session_builtin",   # built-in session windows in batch
+    "dedup_url_canonical",      # URL canonicalization dedup (codegen regex)
+    "text_repetition_ratio",    # Gopher repetition filters, two n-gram passes
+    "text_ngram_novelty",       # corpus-first-seen trigram share
+    "sample_coreset_kcenter",   # farthest-first coreset (broadcast rounds)
+    "simsearch_rerank_mmr",     # diversified rerank over bounded pool
+    "ts_changepoint_cusum",     # scaled-integer CUSUM window pass
+    "join_spatial_grid_neighbors",  # grid-bucketed spatial neighbor join
+    "graph_jaccard_neighbor_sim",   # wedge-join neighborhood similarity
 ]
 
 

@@ -631,3 +631,20 @@ def test_seasonal_baseline_broadcasts(q):
 def test_codec_roundtrip_map_only(q):
     """Codec family is a pure projection: zero shuffles."""
     assert pi.shuffle_count(q("fn_codec_roundtrip")) == 0
+
+
+def test_incremental_dedup_no_cartesian(q):
+    """Batch-vs-corpus screens are hash semi-joins + a gram-keyed probe:
+    no cartesian anywhere, and the stop-shingle fence keeps the gram join
+    an equi-join."""
+    plan = pi.formatted_plan(q("dedup_incremental_batch"))
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_dedup_single_rollup(q):
+    """Signature computation is a map-only Arrow stage; the only exchange
+    is the hash-keyed cluster rollup (same silhouette as dedup_exact)."""
+    df = q("mm_image_phash_dedup_stub")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.sortmerge_join_count(df) == 0
