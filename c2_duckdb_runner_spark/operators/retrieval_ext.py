@@ -232,6 +232,8 @@ def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered keeps the output k-bounded. Jaccard is exact integer ppm.
     The cap is part of the declared semantics (the oracle applies it
     identically), not a silent truncation."""
+    from pyspark.sql.window import Window
+
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cs = (
@@ -239,8 +241,17 @@ def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    cdeg = cs.groupBy("c").agg(F.count("*").alias("cd"))
-    kept = cs.join(cdeg.filter(F.col("cd") <= _DEG_CAP), "c").select("c", "s")
+    # Degree fence as an unbounded-frame window count (one c-keyed shuffle,
+    # no join, no second scan of the orders⨝lineitem build), then
+    # localCheckpoint: three consumers (sdeg, both sides of the wedge
+    # self-join) must reuse the materialized edge list, not re-run the
+    # two-table join each — at 100 TB this is "persist the projected edges".
+    kept = (
+        cs.withColumn("cd", F.count("*").over(Window.partitionBy("c")))
+        .filter(F.col("cd") <= _DEG_CAP)
+        .select("c", "s")
+        .localCheckpoint()
+    )
     sdeg = kept.groupBy("s").agg(F.count("*").alias("d"))
     a = kept.alias("a")
     b = kept.select(F.col("c"), F.col("s").alias("s2"))
