@@ -679,3 +679,58 @@ def stream_tumbling_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         ok.cast("int").alias("within_rsd"),
     )
+
+
+@register(
+    "stream_chained_window_agg",
+    oracle=f"""
+WITH m AS (SELECT MAX({_DUCK_MS}) AS mx FROM events),
+ten AS (
+  SELECT ({_DUCK_MS} // 600000) * 600000 AS w10, event_type,
+         COUNT(*) AS c
+  FROM events GROUP BY w10, event_type
+),
+hour AS (
+  SELECT (w10 // 3600000) * 3600000 AS win_start_ms, event_type,
+         CAST(MAX(c) AS BIGINT) AS peak_10min,
+         CAST(SUM(c) AS BIGINT) AS total_events
+  FROM ten GROUP BY (w10 // 3600000) * 3600000, event_type
+)
+SELECT win_start_ms, event_type, peak_10min, total_events
+FROM hour, m WHERE win_start_ms + 3600000 <= mx
+""",
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregation (Spark ≥3.5 multiple
+    stateful operators): 10-minute tumbling counts per event type
+    RE-AGGREGATED into hourly peak/total — the downsample-then-rollup
+    telemetry cascade (fine-grain for alerting, coarse-grain for
+    dashboards) in ONE streaming query, where pre-3.5 engines forced two
+    jobs with an intermediate sink.
+
+    The second ``groupBy(window(window, '1 hour'))`` consumes the first
+    aggregation's window STRUCT as its event-time column; the watermark
+    propagates through both stateful operators, so append mode emits an
+    hourly row exactly when the watermark passes the hour's end — the
+    oracle replays that cutoff (hour_end ≤ max event time). State is
+    bounded per operator by windows-in-flight × types, never by stream
+    length. Both aggregates are integer counts — engine-exact."""
+    src = _events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    ten = (
+        src.groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    hour = (
+        ten.groupBy(F.window(F.col("w10"), "1 hour").alias("wh"), "event_type")
+        .agg(
+            F.max("c").cast("bigint").alias("peak_10min"),
+            F.sum("c").cast("bigint").alias("total_events"),
+        )
+        .select(
+            F.unix_millis(F.col("wh.start")).alias("win_start_ms"),
+            "event_type",
+            "peak_10min",
+            "total_events",
+        )
+    )
+    return _run_to_memory(spark, hour, "append")
