@@ -125,6 +125,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "p.0", "p.1", "p.2", "p.3").alias("g"),
         )
         .distinct()
+        # Four consumers (batch, corpus x2 via the df-cap semi-join, sizes)
+        # re-enter the distinct gram set; checkpoint so the explode+distinct
+        # runs once. Bounded: distinct (doc, gram) pairs.
+        .localCheckpoint()
     )
     is_batch = F.col("doc_id") % 10 == 0
     batch = grams.filter(is_batch).select("doc_id", "g")

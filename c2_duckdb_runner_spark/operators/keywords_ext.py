@@ -126,6 +126,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("plen"),
         )
         .filter(F.col("plen") <= _MAX_PHRASE)
+        # Three consumers (word stats, distinct-phrase scoring, occurrence
+        # counts) re-enter this frame; checkpoint so the explode + window
+        # subtree runs once, not three times. Bounded: one row per
+        # stopword-free run.
+        .localCheckpoint()
     )
     pw = phrases.select(
         "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
