@@ -93,6 +93,11 @@ HEADLINE = [
     "ts_changepoint_cusum",     # scaled-integer CUSUM window pass
     "join_spatial_grid_neighbors",  # grid-bucketed spatial neighbor join
     "graph_jaccard_neighbor_sim",   # wedge-join neighborhood similarity
+    "search_bm25_topk",         # BM25 lexical retrieval (inverted-index shape)
+    "dedup_incremental_batch",  # batch-vs-corpus ingest screens
+    "mm_image_phash_dedup_stub",  # perceptual-hash media dedup (Arrow stage)
+    "stats_ks_drift_test",      # exact two-sample KS drift statistic
+    "stream_chained_window_agg",  # chained stateful streaming aggregation
 ]
 
 

@@ -104,6 +104,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.sql_surface_ext2  # noqa: F401
     import c2_duckdb_runner_spark.operators.warehouse_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.stats_retrieval_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.temporal_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
