@@ -305,3 +305,57 @@ def udtf_table_partition_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM c2s_rle(TABLE(c2s_events_rle) "
         "PARTITION BY user_id ORDER BY (ms, event_id))"
     )
+
+
+@register(
+    "udf_pandas_iterator_model",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1000000 * n_tokens // (n_tokens + 64) AS BIGINT)
+         AS model_score_micro,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM t
+""",
+)
+def udf_pandas_iterator_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form pandas UDF (Iterator[Series] -> Iterator[Series]) —
+    THE pattern for applying an ML model at scale: expensive per-worker
+    setup (model load, tokenizer init) runs ONCE per partition, then every
+    Arrow batch streams through the loaded model. The scalar form would
+    re-enter Python per batch with no setup amortization; this form is why
+    billion-row inference jobs don't reload weights per 10k rows.
+
+    The "model" here is a deterministic stand-in (a saturating token-count
+    score in integer micro-units — swap `load_model()` for torch/onnx and
+    the plumbing is unchanged); the ORACLE checks the full pipeline
+    end-to-end because the stub is exact integer arithmetic. Map-only, no
+    shuffle, Arrow-batched."""
+    from typing import Iterator
+
+    @pandas_udf("bigint")
+    def model_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # --- one-time per-worker setup (the amortized model load) ---
+        def load_model():
+            # stands in for torch.load(...)/ort.InferenceSession(...):
+            # a fixed saturating score f(n) = 1e6 * n / (n + 64)
+            return lambda n: (1_000_000 * n) // (n + 64)
+
+        model = load_model()
+        for n_tokens in batches:
+            yield model(n_tokens.astype("int64"))
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return d.select(
+        "doc_id",
+        model_score("n_tokens").alias("model_score_micro"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
