@@ -124,3 +124,47 @@ def lakehouse_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_updated"),
         ).select("version", "n_rows", "sum_cents", "n_updated")
     return agg(read_version(1), 1).unionByName(agg(read_version(2), 2))
+
+
+@register(
+    "lakehouse_vacuum_audit",
+    oracle="""
+SELECT 'bucket0_v1' AS file_dir, FALSE AS referenced, TRUE AS vacuum_safe
+UNION ALL
+SELECT 'bucket0_v2', TRUE, FALSE
+UNION ALL
+SELECT 'bucket1_v1', TRUE, FALSE
+""",
+)
+def lakehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM audit for the copy-on-write table: which data directories
+    are no longer referenced by the LATEST manifest and are therefore
+    safe to delete (after the retention window) — the third leg of table-
+    format mechanics after commit and time travel. v2's copy-on-write
+    rewrite of bucket 0 orphaned `bucket0_v1`; `bucket1_v1` is still
+    listed (re-used across versions), so vacuum must NOT touch it — the
+    mistake (deleting any old-version file) that breaks time travel.
+
+    The audit set is manifest-sized (file lists), driver-side by design —
+    the same catalog-scale metadata walk `scan_file_prune_stats` does; at
+    any data volume this query's cost is the number of FILES, not rows.
+    The oracle pins the expected reference/orphan classification by
+    construction, so a wrong resolution (e.g. vacuum reading the v1
+    manifest) hash-mismatches."""
+    # Ensure the mini-lake exists (idempotent build inside).
+    lakehouse_snapshot_timetravel(spark, sf_dir).collect()
+    path = _out(sf_dir, "mini_lakehouse")
+    with open(f"{path}/v2.json") as fh:
+        latest = set(json.load(fh)["files"])
+    data_dirs = sorted(
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d))
+    )
+    rows = [
+        (d, d in latest, d not in latest)
+        for d in data_dirs
+    ]
+    return spark.createDataFrame(
+        rows, "file_dir string, referenced boolean, vacuum_safe boolean"
+    )
