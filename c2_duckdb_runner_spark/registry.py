@@ -109,6 +109,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.signal_ext2  # noqa: F401
     import c2_duckdb_runner_spark.operators.entity_vq_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.lakehouse_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.allocation_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -447,3 +447,30 @@ def test_gaps_islands_partition_hours(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert s2 > e1 + 1, (s1, e1, s2)
+
+
+def test_largest_remainder_allocation_reconciles(spark, sf_dir):
+    """The allocation invariant the operator exists for: per order, the
+    integer cent allocations sum EXACTLY to the order total (no leaked
+    cents), and every allocation differs from its floor share by at most
+    one cent."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["alloc_largest_remainder"](spark, sf_dir).collect()
+    totals = {
+        r["o_orderkey"]: int(round(r["o_totalprice"] * 100))
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .collect()
+    }
+    from collections import defaultdict
+
+    alloc = defaultdict(int)
+    for r in rows:
+        alloc[r["order_key"]] += r["alloc_cents"]
+    # Orders without line items (possible in the small fixtures) never
+    # enter the allocation; every allocated order must reconcile exactly.
+    assert set(alloc) <= set(totals)
+    assert alloc, "no orders allocated"
+    for k, s in alloc.items():
+        assert s == totals[k], (k, s, totals[k])
