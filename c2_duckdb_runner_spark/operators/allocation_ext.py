@@ -184,3 +184,41 @@ def ab_sample_ratio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d * d).cast("bigint").alias("chisq_num"),
         ((d * d * 1000) > 3841 * (F.col("n0") + F.col("n1"))).alias("srm_flag"),
     )
+
+
+@register(
+    "sql_create_function_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                  + 0.5) AS BIGINT) AS charged_cents
+FROM lineitem WHERE l_linenumber = 1
+""",
+)
+def sql_create_function_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED scalar function (CREATE TEMPORARY FUNCTION … RETURN
+    expr) — the shareable-business-logic surface: the charged-amount rule
+    is declared ONCE in SQL and every query calls it by name, exactly like
+    DuckDB macros (``CREATE MACRO``), with none of a Python UDF's
+    serialization cost. Because the body is a SQL expression, Catalyst
+    INLINES it — the plan is identical to writing the expression by hand,
+    so the function boundary costs nothing (same reason the oracle can
+    just inline it).
+
+    The rule: net-of-discount, tax added, half-up integer cents (floor of
+    x+0.5 — pinned explicitly, as numpy/engine round-half rules differ).
+    Map-only codegen projection."""
+    from c2_duckdb_runner_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_cents("
+        "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(floor(price * (1 - disc) * (1 + tax) * 100 + 0.5) "
+        "AS BIGINT)"
+    )
+    return spark.sql(
+        "SELECT l_orderkey, l_linenumber, "
+        "charged_cents(l_extendedprice, l_discount, l_tax) AS charged_cents "
+        "FROM lineitem WHERE l_linenumber = 1"
+    )

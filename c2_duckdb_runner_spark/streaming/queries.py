@@ -734,3 +734,95 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, hour, "append")
+
+
+@register(
+    "stream_dlq_split",
+    oracle=f"""
+WITH v AS (
+  SELECT event_id, event_type, {_DUCK_MS} AS ms,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (value >= 0 AND value <= 150 AND event_type IS NOT NULL)
+           AS is_valid
+  FROM events
+)
+SELECT CASE WHEN is_valid THEN 'main' ELSE 'dlq' END AS sink,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM v GROUP BY 1
+""",
+)
+def stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue split — the ingestion stream's row-level safety
+    valve: rows failing validation go to a DLQ path for replay/forensics
+    while clean rows flow to the main table, in ONE pass inside
+    foreachBatch (two filtered writes per micro-batch, both idempotent by
+    batch-id path). Without a DLQ an invalid row either kills the query
+    or silently disappears; with it, ingestion is total — every input row
+    lands exactly once in exactly one of the two sinks.
+
+    Validation here: value within the contract range [0, 150] and a
+    non-null type (the shape of real schema-contract checks; ~5% of the
+    fixture stream violates the range at every scale factor). The drained result re-reads
+    BOTH sinks and aggregates per sink; the oracle replays the split
+    statically, so a row routed to the wrong sink — or dropped — breaks
+    the hash. The totality invariant (n_main + n_dlq = |events|) is
+    checked implicitly by the counts."""
+    import shutil
+
+    out_dir = (
+        f"/tmp/c2spark_io/{os.path.basename(os.path.normpath(sf_dir))}/dlq_split"
+    )
+    src = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (
+            (F.col("value") >= 0)
+            & (F.col("value") <= 150)
+            & F.col("event_type").isNotNull()
+        ).alias("is_valid"),
+    )
+
+    def split_batch(batch_df, batch_id: int) -> None:
+        # One batch scan feeds both branches; deterministic per-batch paths
+        # keep retries idempotent (the foreachBatch exactly-once recipe).
+        batch_df.persist()
+        try:
+            batch_df.filter(F.col("is_valid")).drop("is_valid").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/main/batch={batch_id}")
+            batch_df.filter(~F.col("is_valid")).drop("is_valid").write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/dlq/batch={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.foreachBatch(split_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    def sink_agg(name: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{out_dir}/{name}")
+            .agg(
+                F.lit(name).alias("sink"),
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.min("event_id").cast("bigint").alias("first_event"),
+            )
+            .select("sink", "n", "sum_cents", "first_event")
+        )
+
+    return sink_agg("main").unionByName(sink_agg("dlq"))
