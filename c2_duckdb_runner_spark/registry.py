@@ -110,6 +110,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.entity_vq_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.lakehouse_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.allocation_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.behavior_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
