@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from c2_duckdb_runner_spark.operators.graph import _EDGES_SQL as _GRAPH_EDGES_SQL
 from c2_duckdb_runner_spark.registry import register
 from c2_duckdb_runner_spark.tables import load
 
@@ -164,3 +165,74 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment_cents",
         "min_recency",
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+WITH edges AS (
+{_GRAPH_EDGES_SQL}
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+pairs AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges JOIN deg ds ON ds.node = edges.src
+             JOIN deg dd ON dd.node = edges.dst
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n, sx, sxy,
+       ROUND((n * sxy - sx * sy) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity
+FROM s
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — do well-connected nodes attach to other
+    well-connected nodes (r > 0, social-network style) or to leaves
+    (r < 0, hub-and-spoke style)? The one-number topology summary
+    (Newman's r = Pearson correlation of endpoint degrees over edges)
+    that tells you whether skew mitigation will matter: disassortative
+    graphs concentrate traffic through hubs.
+
+    Exactness: degrees are integers, so ALL five sufficient statistics
+    are exact int64 sums (no decimal routing needed — cheaper than the
+    general corr path); only the final r is floating, computed in one
+    fixed expression tree and rounded to 6 dp. Shape: one degree reduce,
+    two keyed joins decorating each directed edge with endpoint degrees
+    (the symmetrized edge list counts each undirected edge in both
+    directions — the standard convention), one global sufficient-stats
+    reduce."""
+    from c2_duckdb_runner_spark.operators.graph import _edges
+
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    pairs = (
+        edges.join(deg.select(F.col("src"), F.col("d").alias("x")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("y")), "dst"
+        )
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    )
+    return s.select("n", "sx", "sxy", F.round(r, 6).alias("assortativity"))
