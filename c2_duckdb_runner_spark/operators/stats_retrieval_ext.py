@@ -202,15 +202,15 @@ def stats_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("half") == 1, 1)).alias("c1"),
         F.count(F.when(F.col("half") == 2, 1)).alias("c2"),
     )
-    n = c.groupBy("event_type").agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
+    # Totals as an unbounded window over the SAME event_type partitioning
+    # the CDF window uses: one scan, one shuffle, both windows planned on
+    # the same exchange (a separate groupBy branch would re-scan events).
     w = Window.partitionBy("event_type").orderBy("x")
-    cum = c.join(F.broadcast(n), "event_type").select(
+    wall = Window.partitionBy("event_type")
+    cum = c.select(
         "event_type",
-        "n1",
-        "n2",
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
         F.sum("c1").over(w).alias("f1"),
         F.sum("c2").over(w).alias("f2"),
     )

@@ -648,3 +648,50 @@ def test_phash_dedup_single_rollup(q):
     plan = pi.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_bm25_stats_broadcast_takeordered(q):
+    """BM25: the df/stats sides re-enter broadcast and the ranking is a
+    TakeOrdered, never a global sort of the postings."""
+    df = q("search_bm25_topk")
+    plan = pi.formatted_plan(df)
+    assert pi.broadcast_join_count(df) >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ks_drift_single_pass_no_self_join(q):
+    """KS builds both halves' CDFs from ONE events pass (FILTER columns),
+    so the plan must contain exactly one parquet scan."""
+    assert pi.scan_count(q("stats_ks_drift_test")) == 1
+
+
+def test_point_in_time_no_range_join(q):
+    """The temporal lookup is a window carry: no join node, no cartesian."""
+    plan = pi.formatted_plan(q("join_point_in_time_version"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rvq_zero_corpus_shuffle(q):
+    """Both RVQ codebooks broadcast; assignment is a pure projection —
+    the corpus must not hash-shuffle."""
+    df = q("embed_rvq_assign")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_snm_bounded_probe_no_cartesian(q):
+    """Sorted-neighborhood candidates come from a (bucket, rank) equi-join
+    of a bounded offset explode — never a bucket cross product."""
+    plan = pi.formatted_plan(q("dedup_sorted_neighborhood"))
+    assert "CartesianProduct" not in plan
+
+
+def test_allocation_single_window_partitioning(q):
+    """All three window computations (quantity sum, remainder rank,
+    floor-sum leftover) share the order key: at most the join + one
+    window exchange on o_orderkey."""
+    df = q("alloc_largest_remainder")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
