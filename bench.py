@@ -212,12 +212,16 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Median-of-3: this host shows heavy external CPU-steal spikes
-    # (identical queries vary >10x minutes apart — see PERFORMANCE.md), and
-    # the first run also pays one-time plan compilation. The median damps
-    # both a one-off stall AND a suspiciously-fast fluke, unlike the
-    # previous min-of-2; per-repeat raw times are kept in the durable copy
-    # so the spread itself is auditable.
+    # Median-of-3 over steady state: this host shows heavy external
+    # CPU-steal spikes (identical queries vary >10x minutes apart — see
+    # PERFORMANCE.md), and the first execution of a query additionally pays
+    # one-time plan compilation + codegen. A dedicated UNTIMED warm-up run
+    # per query removes that cold-start from the sample entirely (round-3
+    # medians were warm-up-polluted: dedup_minhash_lsh raw [4.60, 1.38,
+    # 0.86] median-reported 1.38s for a 0.86s steady-state query); the
+    # median over the remaining repeats then damps both a one-off stall AND
+    # a suspiciously-fast fluke. Per-repeat raw times are kept in the
+    # durable copy so the spread itself is auditable.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     raw_times: dict[str, list[float]] = {}
@@ -225,6 +229,7 @@ def main() -> None:
     for key in keys:
         runs: list[float] = []
         try:
+            _materialize(qs[key](spark, sf_dir))  # untimed per-query warm-up
             for _ in range(repeats):
                 t0 = time.monotonic()
                 _materialize(qs[key](spark, sf_dir))
@@ -257,6 +262,47 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     spark.stop()
+
+    # --- compact driver-facing headline line ---------------------------
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # final JSON line out of that tail (measured: BENCH_r01..r03 all store
+    # a tail of exactly 2000 chars; r03's 11 KB line straddled the window
+    # and recorded "parsed": null). So the stdout line is a BUDGETED view:
+    # metric/value/unit/queries/sf/cpus only, 2-decimal seconds, compact
+    # separators — and if the full query dict still exceeds the budget, the
+    # CHEAPEST queries are dropped from the stdout dict (never from
+    # BENCH_local.json, which always carries every query + raw repeats +
+    # stage metrics) with an "omitted" count + their summed seconds, so the
+    # headline total remains the sum over ALL queries and the line is
+    # guaranteed parseable no matter how the headline set grows.
+    _BUDGET = 1950  # chars; driver tail is 2000, leave newline + drift room
+
+    def _compact_line(qdict: dict[str, float], omitted: int, omitted_sec: float) -> str:
+        obj = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in qdict.items()},
+            "sf": _sf_from_dir(sf_dir),
+            "cpus": int(cpus),
+        }
+        if omitted:
+            obj["omitted"] = omitted
+            obj["omitted_sec"] = round(omitted_sec, 2)
+        if errors:
+            obj["errors"] = len(errors)
+        return json.dumps(obj, separators=(",", ":"))
+
+    shown = dict(timings)
+    omitted_sec = 0.0
+    # drop cheapest-first so the expensive (plan-interesting) queries stay
+    drop_order = sorted(timings, key=lambda k: (timings[k], k))
+    line = _compact_line(shown, 0, 0.0)
+    for victim in drop_order:
+        if len(line) <= _BUDGET:
+            break
+        omitted_sec += shown.pop(victim)
+        line = _compact_line(shown, len(timings) - len(shown), omitted_sec)
 
     # --- untimed stage-metrics pass ------------------------------------
     # Fresh session WITH event logging, one run per query under its own job
@@ -293,23 +339,13 @@ def main() -> None:
             mspark.catalog.clearCache()
         mspark.stop()  # flushes + finalizes the event log
         full_metrics = _stage_metrics_by_group(_EVENTLOG_DIR)
-        # stdout line stays lean (driver capture is tail-limited): shuffle
-        # write bytes (plan-determined — THE plan-regression signal) and
-        # executor task ms per query. Full sw/sr/tt/in set + raw repeat
-        # times live in the committed BENCH_local.json.
-        out["stage_metrics_legend"] = (
-            "untimed metrics pass: sw=shuffle bytes written, tt=executor task ms"
-        )
-        out["stage_metrics"] = {
-            k: {m: v[m] for m in ("sw", "tt") if m in v}
-            for k, v in full_metrics.items()
-            if k in timings
-        }
     except Exception as exc:  # metrics are additive evidence, never fatal
         print(f"bench: stage metrics unavailable: {exc}", file=sys.stderr)
     # Durable copy on disk (the driver's stdout capture is tail-limited);
-    # carries the per-repeat raw wall-clocks and full stage metrics the
-    # one-line JSON omits.
+    # carries EVERY query's median, the per-repeat raw wall-clocks, full
+    # error strings, and the stage metrics (sw=shuffle bytes written,
+    # sr=shuffle bytes read, tt=executor task ms, in=input bytes read) that
+    # the budgeted one-line stdout JSON omits.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
@@ -322,7 +358,7 @@ def main() -> None:
             )
     except OSError:
         pass
-    print(json.dumps(out), flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.session import scratch_persist
 from c2_duckdb_runner_spark.tables import load, load_spread
 
 # 4-token shingles; DuckDB twin is toks[i:i+3] (1-indexed inclusive slice).
@@ -411,13 +412,12 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     map — the same reason production minhash pipelines write signatures out
     as a table before the LSH join. Without this the plan scans & re-signs
     the corpus once per branch."""
-    return (
+    return scratch_persist(
         _with_shingles(spark, sf_dir)
         .filter(F.col("nsh") > 0)
         .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
         .withColumn("sig", F.expr(_MINHASH_SIG))
         .select("doc_id", "sh", "nsh", "sig")
-        .persist()
     )
 
 
@@ -569,13 +569,12 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the 64-bit sign-aggregation is the expensive map; both sides
     # of the chunk self-join reuse the fingerprint table instead of
     # recomputing it (same rationale as dedup_minhash_lsh's signature table)
-    d = (
+    d = scratch_persist(
         _with_shingles(spark, sf_dir)
         .filter(F.col("nsh") > 0)
         .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
         .withColumn("simhash", F.expr(_SIMHASH))
         .select("doc_id", "simhash")
-        .persist()
     )
     chunks = d.select(
         "doc_id",
@@ -631,9 +630,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked Jaccard ground truth restricted to jac ≥ 0.97 (pairs SimHash
     MUST catch at hamming ≤ 8), then emits (n_true_pairs, recall_ok ≥ 90%)
     — truth count hash-matched cross-engine, recall asserted Spark-side."""
-    truth = dedup_near_ngram_jaccard(spark, sf_dir).filter(
-        F.col("jac") >= 0.97
-    )
+    # Truth filters the UNROUNDED ratio at 0.97 exactly like the oracle SQL
+    # (filtering dedup_near_ngram_jaccard's round(jac,6) output would count
+    # pairs in the HALF_UP rounding band just below 0.97 that DuckDB's raw
+    # filter excludes — unreachable at fixture shingle counts, but
+    # inconsistent by construction).
+    truth = _jaccard_pairs_spark(spark, sf_dir, 0.97)
     found = _simhash_pairs(spark, sf_dir)
     return _recall_verdict(truth, found, 90)
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.session import scratch_persist
 from c2_duckdb_runner_spark.tables import load
 
 _OFFSET = 10_000_000
@@ -99,12 +100,10 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge build (join + symmetrize + distinct) feeds deg, the node
     # spine, and the contribution loop — persist it once or every consumer
     # replays the order⨝lineitem join
-    edges = _edges(spark, sf_dir).persist()
+    edges = scratch_persist(_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = (
-        edges.join(deg, "src")
-        .repartition(32, "src")
-        .persist()
+    edges_deg = scratch_persist(
+        edges.join(deg, "src").repartition(32, "src")
     )
     # Node spine: src ∪ dst — but the graph is SYMMETRIZED, so src set ==
     # dst set == node set, and every node receives at least one
@@ -218,36 +217,45 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat across a data-dependent number of rounds."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
+    edges = scratch_persist(
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
             (F.lit(_OFFSET) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
-        .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "src").repartition(32, "src").persist()
-    nodes = (
+    edges_deg = scratch_persist(edges.join(deg, "src").repartition(32, "src"))
+    nodes = scratch_persist(
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
-    n_nodes = nodes.count()
     # dangling node set is fixed (structure, not ranks): compute once
-    dang_ids = nodes.join(
-        deg, nodes.id == deg.src, "left_anti"
-    ).persist()
+    dang_ids = scratch_persist(
+        nodes.join(deg, nodes.id == deg.src, "left_anti")
+    )
     ranks = nodes.select(
         "id", F.lit(1_000_000).cast("long").alias("r")
     ).localCheckpoint(eager=True)
+    # One pre-loop action folds node count + dangling count together; the
+    # initial ranks are the constant 1M/node, so round 0's dangling mass is
+    # n_dangling · 1M with no rank scan at all.
+    pre = (
+        nodes.join(deg, nodes.id == deg.src, "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("outdeg").isNull(), 1).otherwise(0)
+            ).alias("nd"),
+        )
+        .collect()
+    )[0]
+    n_nodes = pre["n"]
+    dm = 1_000_000 * int(pre["nd"] or 0)
     n_iters = 0
     for _ in range(_MAX_ROUNDS):
-        dm = (
-            ranks.join(dang_ids, "id").agg(F.sum("r").alias("dm")).collect()
-        )[0]["dm"] or 0
         share = dm // n_nodes
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.id)
@@ -268,12 +276,28 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
+        # ONE driver action per round: the convergence delta AND the NEXT
+        # round's dangling mass come out of the same step⨝ranks join
+        # (dangling membership tagged by a left join on the fixed id set) —
+        # halving per-round job-submission overhead vs separate collects.
+        st = (
             step.alias("a")
             .join(ranks.alias("b"), "id")
-            .agg(F.max(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
+            .join(
+                dang_ids.select("id").withColumn("is_dang", F.lit(1)),
+                "id",
+                "left",
+            )
+            .agg(
+                F.max(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dang") == 1, F.col("a.r"))),
+                    F.lit(0).cast("long"),
+                ).alias("dm"),
+            )
             .collect()
-        )[0]["d"]
+        )[0]
+        delta, dm = st["d"], int(st["dm"])
         if delta < _EPS:
             break
         ranks = step
@@ -464,7 +488,7 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEWLY-settled nodes against edges (delta propagation) — the full
     min-fold is kept here because it is what the oracle can replay exactly
     and the per-round cost model is identical, just un-truncated."""
-    edges = _edges(spark, sf_dir).persist()
+    edges = scratch_persist(_edges(spark, sf_dir))
     dist = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 100 == 0)

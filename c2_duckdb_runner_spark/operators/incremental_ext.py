@@ -112,10 +112,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(
                 F.arrays_zip(
-                    F.expr("slice(t, 1, size(t) - 3)"),
-                    F.expr("slice(t, 2, size(t) - 3)"),
-                    F.expr("slice(t, 3, size(t) - 3)"),
-                    F.expr("slice(t, 4, size(t) - 3)"),
+                    # greatest(…, 0): slice() throws on a negative length,
+                    # so a 1-2-token doc (possible at other SFs) must yield
+                    # an empty slice — matching the oracle's range(1,
+                    # greatest(len(t)-2, 1)) which emits no grams for it
+                    F.expr("slice(t, 1, greatest(size(t) - 3, 0))"),
+                    F.expr("slice(t, 2, greatest(size(t) - 3, 0))"),
+                    F.expr("slice(t, 3, greatest(size(t) - 3, 0))"),
+                    F.expr("slice(t, 4, greatest(size(t) - 3, 0))"),
                 )
             ).alias("p"),
         )

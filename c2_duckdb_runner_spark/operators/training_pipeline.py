@@ -50,6 +50,7 @@ from c2_duckdb_runner_spark.operators.dedup import (
     dedup_near_ngram_jaccard,
 )
 from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.session import scratch_persist
 from c2_duckdb_runner_spark.tables import load
 
 
@@ -681,11 +682,13 @@ def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches (v1 = G·1 and y2 = G·v1) then reuse the d²-row cached
     # result instead of re-reducing the corpus per matvec (8.0s -> ~2s
     # at sf0.1 from the two changes together).
-    gram = tri.unionByName(
-        tri.filter(F.col("j") > F.col("i")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+    gram = scratch_persist(
+        tri.unionByName(
+            tri.filter(F.col("j") > F.col("i")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "g"
+            )
         )
-    ).persist()
+    )
 
     def _matvec(mat: DataFrame, vec: DataFrame) -> DataFrame:
         """y_i = Σ_j mat_ij · vec_j as an index-ordered fold; vec is d rows

@@ -24,9 +24,16 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from c2_duckdb_runner_spark.session import apply_runtime_confs
+from c2_duckdb_runner_spark.session import apply_runtime_confs, release_scratch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Reentrancy depth: composite queries call other REGISTERED queries while
+# building their plan (the decorator rebinds the module-level name to the
+# wrapper), and those inner entries must not release the outer query's
+# scratch-persisted tables mid-build. Only a depth-0 entry — a new
+# top-level query — releases the previous query's scratch.
+_ENTRY_DEPTH = 0
 
 
 @dataclass
@@ -49,8 +56,15 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
             raise ValueError(f"duplicate query key: {key}")
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _ENTRY_DEPTH
             apply_runtime_confs(spark)
-            return fn(spark, sf_dir)
+            if _ENTRY_DEPTH == 0:
+                release_scratch()  # previous query's persisted scratch
+            _ENTRY_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _ENTRY_DEPTH -= 1
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -55,6 +55,37 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+# --- scratch persist tracking ------------------------------------------
+# Operators persist() intermediate tables that several downstream branches
+# of the SAME query reuse (minhash signatures, graph edge relations, …).
+# DataFrame caches live in the CacheManager until explicitly unpersisted —
+# the ContextCleaner never reclaims them — so a 325-query single-session
+# sweep would otherwise accumulate two corpus-sized cached tables per dedup
+# query. Queries return LAZY DataFrames (the caller materializes later), so
+# the release point cannot be inside the query itself; instead every persist
+# goes through scratch_persist() and the registry releases ALL outstanding
+# scratch tables at the next top-level query entry — at most one query's
+# scratch is ever resident.
+
+_SCRATCH: list = []
+
+
+def scratch_persist(df):
+    """persist() whose release is deferred to the next registered-query
+    entry (registry.register's wrapper calls release_scratch)."""
+    _SCRATCH.append(df.persist())
+    return df
+
+
+def release_scratch() -> None:
+    while _SCRATCH:
+        df = _SCRATCH.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Idempotently pin runtime confs on a session we may not have built."""
     confs = dict(_RUNTIME_CONFS)

@@ -32,6 +32,12 @@ def test_run_scan_report_fields(spark, datadir, sf_dir):
     assert report.predicate == "value > 0.5"
     assert report.seconds > 0
     assert report.read_bytes > 0  # engine-requested bytes, post-pushdown
+    # main.cc:331-332 reports nonzero read ops; Hadoop's local FS has no op
+    # counter, so on Linux the runner substitutes the JVM's kernel
+    # read-syscall delta (same per-read semantics). A real scan must have
+    # issued at least one read syscall per file.
+    if report.ops_from_syscalls:
+        assert report.read_ops >= report.n_files
     report.print()
 
 
