@@ -198,8 +198,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    keys = [k for k in HEADLINE if k in qs]
-    missing = [k for k in HEADLINE if k not in qs]
+    # Optional subset override (csv) — used by the scale-validation run
+    # (BENCH_sf1) to time just the most expensive queries at a larger SF.
+    chosen = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    headline = chosen.split(",") if chosen else HEADLINE
+    keys = [k for k in headline if k in qs]
+    missing = [k for k in headline if k not in qs]
     if missing:
         print(f"bench: skipping unregistered keys: {missing}", file=sys.stderr)
 
@@ -348,7 +352,10 @@ def main() -> None:
     # the budgeted one-line stdout JSON omits.
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"),
+            ),
             "w",
         ) as fh:
             json.dump(

@@ -78,7 +78,11 @@ def _run_to_memory(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(name)
-    out = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    # Executor-side snapshot: the memory sink's rows are already bounded by
+    # window/key cardinality, but localCheckpoint copies them into executor
+    # storage blocks directly — the previous collect()+createDataFrame
+    # round-tripped every sink row through the Python driver process.
+    out = sink.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
 

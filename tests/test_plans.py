@@ -695,3 +695,35 @@ def test_allocation_single_window_partitioning(q):
     df = q("alloc_largest_remainder")
     plan = pi.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(q):
+    """The ~1 KB bloom word table must broadcast to the probe side; the
+    probe join must never shuffle, and nothing is a cross product."""
+    df = q("sketch_bloom_membership")
+    plan = pi.formatted_plan(df)
+    assert pi.broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_filters_postings_first(q):
+    """Positional phrase search must filter postings to the query terms
+    BEFORE any join (the inverted-index lookup), and reassemble the phrase
+    with equi-joins, never a cross product."""
+    plan = pi.formatted_plan(q("search_phrase_positional"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_cap_two_stage_rank(q):
+    """The salted exact top-K must rank twice (salt stage then domain
+    stage) so a mega-domain never lands whole on one reducer."""
+    plan = pi.formatted_plan(q("sample_domain_cap"))
+    assert plan.count("Window") >= 2, plan
+
+
+def test_er_blocked_join_no_cartesian(q):
+    """F-S candidate pairs come from the (nation, band) block equi-join."""
+    plan = pi.formatted_plan(q("er_fellegi_sunter"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -508,3 +508,15 @@ def test_first_50_registration_prefix_pinned():
     import __spark_entry__ as entrymod
 
     assert list(entrymod.queries())[:50] == DRIVER_SAMPLE_PREFIX_R03
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may false-positive but NEVER false-negative: every
+    probe whose text is truly in the corpus must hit all k bits."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sketch_bloom_membership"](spark, sf_dir).collect()
+    assert rows, "no probes"
+    for r in rows:
+        if r["present"] == 1:
+            assert r["bloom_hit"] == 1, r
