@@ -98,6 +98,15 @@ HEADLINE = [
     "mm_image_phash_dedup_stub",  # perceptual-hash media dedup (Arrow stage)
     "stats_ks_drift_test",      # exact two-sample KS drift statistic
     "stream_chained_window_agg",  # chained stateful streaming aggregation
+    "er_fellegi_sunter",        # blocked probabilistic record linkage
+    "search_phrase_positional",  # positional inverted-index phrase join
+    "sample_domain_cap",        # salted two-stage per-domain top-K
+    "graph_kcore_peel",         # iterative degeneracy peel (4 rounds)
+    "sketch_bloom_membership",  # bit-OR bloom build + broadcast probe
+    "stats_chi2_drift",         # exact-integer chi-square homogeneity
+    "tokenizer_bpe_train_rounds",  # data-driven BPE merge training
+    "join_bloom_pruned_shuffle",  # bloom-pruned fact shuffle join
+    "stats_bootstrap_mean_ci",  # 16-resample bootstrap in one scan
 ]
 
 

@@ -129,6 +129,7 @@ def _load_all_modules() -> None:
     # registration prefix stable (pinned in tests/test_properties.py)
     import c2_duckdb_runner_spark.operators.matching_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.structure_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.pipeline_r4_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

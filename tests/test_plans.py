@@ -727,3 +727,23 @@ def test_er_blocked_join_no_cartesian(q):
     plan = pi.formatted_plan(q("er_fellegi_sunter"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_pruned_join_probe_is_map_only(q):
+    """The bloom probe must be a projected predicate over the broadcast
+    1-row filter map (no explode/regroup of the fact side): the bloom
+    check appears as a Filter, and the only exchanges are the pruned
+    join's and the final aggregation's."""
+    df = q("join_bloom_pruned_shuffle")
+    plan = pi.formatted_plan(df)
+    assert "shiftright" in plan  # the bit-check predicate survived
+    assert "CartesianProduct" not in plan
+    assert pi.shuffle_count(df) <= 3, pi.simple_plan(df)
+
+
+def test_bootstrap_is_single_scan(q):
+    """B=16 resamples must NOT multiply the data: one scan, one global
+    aggregation exchange."""
+    df = q("stats_bootstrap_mean_ci")
+    assert pi.scan_count(df) == 1
+    assert pi.shuffle_count(df) <= 1

@@ -520,3 +520,48 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
     for r in rows:
         if r["present"] == 1:
             assert r["bloom_hit"] == 1, r
+
+
+def test_fellegi_sunter_recovers_true_links(spark, sf_dir):
+    """Every planted link whose blocking band survives the balance jitter
+    must be recovered with score >= 10 and is_true = 1 (the F-S floor for
+    a true pair is 18 - 6 + 0 = 12); and no cross-customer pair can reach
+    the threshold (name disagreement floors it at -10 + 15 + 9 < 10 only
+    when names agree — different customers' names never do)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["er_fellegi_sunter"](spark, sf_dir).collect()
+    assert rows, "no pairs emitted"
+    assert all(r["is_true"] == 1 for r in rows), "non-link pair above threshold"
+    n_cust = load(spark, sf_dir, "customer").count()
+    # band-crossing losses are the only permitted misses: custkey % 5 == 0
+    # AND acctbal within 0.37 of a 1000 boundary
+    recovered = {r["a_key"] for r in rows}
+    assert len(recovered) >= int(n_cust * 0.95), (len(recovered), n_cust)
+
+
+def test_bpe_training_token_count_decreases(spark, sf_dir):
+    """Each learned merge must strictly shrink the corpus token count, and
+    winner counts are non-increasing (a later round's best pair cannot
+    beat an earlier round's — any new pair's count is bounded by the
+    merged pair's)."""
+    import __spark_entry__ as entrymod
+
+    rows = sorted(
+        entrymod.queries()["tokenizer_bpe_train_rounds"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["tokens_after"] < a["tokens_after"]
+        assert b["cnt"] <= a["cnt"]
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """Regression pin: at B=16 deterministic resamples the CI must bracket
+    the full-sample mean (a bootstrap CI excluding its own point estimate
+    means the weights or the fold broke)."""
+    import __spark_entry__ as entrymod
+
+    r = entrymod.queries()["stats_bootstrap_mean_ci"](spark, sf_dir).collect()[0]
+    assert r["ci_lo"] <= r["mean_cents_x100"] <= r["ci_hi"], r
