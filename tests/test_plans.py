@@ -747,3 +747,27 @@ def test_bootstrap_is_single_scan(q):
     df = q("stats_bootstrap_mean_ci")
     assert pi.scan_count(df) == 1
     assert pi.shuffle_count(df) <= 1
+
+
+def test_cascade_proxy_filter_precedes_python_boundary(q):
+    """The cheap proxy predicate must execute BELOW the expensive pandas
+    UDF (the SIGMOD'25 cascade optimization): in the plan tree the
+    ArrowEvalPython node sits above the Filter."""
+    plan = pi.simple_plan(q("semantic_filter_cascade_stub"))
+    assert "ArrowEvalPython" in plan, plan
+    assert plan.index("ArrowEvalPython") < plan.index("Filter"), plan
+
+
+def test_sentiment_lexicon_broadcasts(q):
+    """The valence lexicon is a literal inline table — it must broadcast,
+    never shuffle the exploded token stream for the join."""
+    df = q("text_sentiment_lexicon")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_prefix_filter_join_no_cartesian(q):
+    """Candidates come from the prefix-gram equi-join inside length bands
+    — never a cross product of the name dictionary."""
+    plan = pi.formatted_plan(q("join_string_prefix_filter"))
+    assert "CartesianProduct" not in plan

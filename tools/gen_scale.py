@@ -67,6 +67,13 @@ def scaled(df, table: str, i: int):
         return df
     for c in KEY_COLS[table]:
         df = df.withColumn(c, (F.col(c) + F.lit(i * SHIFT)).cast(df.schema[c].dataType))
+    if table == "customer":
+        # distinct customers must have distinct names (ER operators treat
+        # the name as an identity field; 10 verbatim copies would plant
+        # cross-replica false matches no real 10x corpus has)
+        df = df.withColumn(
+            "c_name", F.concat(F.col("c_name"), F.lit(f"r{i}"))
+        )
     if table == "documents":
         df = df.withColumn(
             "text",
