@@ -110,6 +110,8 @@ HEADLINE = [
     "semantic_filter_cascade_stub",  # proxy screen -> iterator-UDF scorer
     "text_sentiment_lexicon",   # broadcast-lexicon valence scoring
     "join_string_prefix_filter",  # q-gram prefix-filter similarity join
+    "stats_permutation_test",   # 16 relabelings in one scan
+    "ts_mann_kendall_trend",    # trend test on per-key daily rollups
 ]
 
 

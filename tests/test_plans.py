@@ -771,3 +771,19 @@ def test_prefix_filter_join_no_cartesian(q):
     — never a cross product of the name dictionary."""
     plan = pi.formatted_plan(q("join_string_prefix_filter"))
     assert "CartesianProduct" not in plan
+
+
+def test_permutation_test_single_scan(q):
+    """16 relabelings ride the SAME aggregation as the observed statistic:
+    one scan, one global-agg exchange."""
+    df = q("stats_permutation_test")
+    assert pi.scan_count(df) == 1
+    assert pi.shuffle_count(df) <= 1
+
+
+def test_mann_kendall_pairs_on_daily_rollup(q):
+    """The O(n^2) pair join must consume the DAILY rollup, not raw events:
+    exactly two scans (daily twice via self-join + count side may reuse),
+    no cartesian product."""
+    plan = pi.formatted_plan(q("ts_mann_kendall_trend"))
+    assert "CartesianProduct" not in plan
