@@ -138,6 +138,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.decompose_eval_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.forecast_eval_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.chunking_health_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.mlsplit_spectral_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
