@@ -787,3 +787,126 @@ def test_mann_kendall_pairs_on_daily_rollup(q):
     no cartesian product."""
     plan = pi.formatted_plan(q("ts_mann_kendall_trend"))
     assert "CartesianProduct" not in plan
+
+
+# --- round-4 late additions: inference/retrieval/walk/eval operators ---
+
+
+def test_quantile_normalize_position_join_is_equi(q):
+    """The doc->global-value lookup must be a plain equi-join on the
+    integer position (the histogram reconstruction) — the only nested
+    loop allowed is the broadcast 1-row corpus-count attach."""
+    plan = pi.formatted_plan(q("stats_quantile_normalize"))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_attribution_single_user_shuffle(q):
+    """First-purchase anchor, position ranks and journey length all ride
+    the user_id partitioning: one user shuffle + one channel agg."""
+    df = q("attribution_multitouch_ushape")
+    assert pi.shuffle_count(df) <= 3, pi.simple_plan(df)
+    assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_rrf_candidates_via_takeordered(q):
+    """Both ranker candidate lists and the fused top-20 must be
+    TakeOrdered (per-partition heaps), never a global sort."""
+    plan = pi.formatted_plan(q("search_rrf_fusion"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mrr_probes_broadcast(q):
+    """The probe set broadcasts; the corpus never shuffles for scoring."""
+    assert pi.broadcast_join_count(q("search_mrr_eval")) >= 1
+
+
+def test_weighted_priority_is_map_plus_takeordered(q):
+    """Priority is a map-only expression; selection is TakeOrdered —
+    zero shuffles end to end."""
+    df = q("sample_weighted_priority")
+    assert pi.shuffle_count(df) == 0, pi.simple_plan(df)
+    assert "TakeOrderedAndProject" in pi.formatted_plan(df)
+
+
+def test_random_walks_keyed_joins_only(q):
+    """Every hop is a keyed equi-join (frontier -> ranked neighbors)."""
+    plan = pi.formatted_plan(q("graph_random_walks_hash"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_node2vec_keyed_joins_only(q):
+    """Biased hops add only the prev-adjacency equi-join — still no
+    cross product anywhere."""
+    plan = pi.formatted_plan(q("graph_node2vec_biased_walk"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_feature_model_broadcasts(q):
+    """The 128-bucket feature table and the 1-row totals broadcast; the
+    token stream only maps."""
+    assert pi.broadcast_join_count(q("sample_dsir_hashed_importance")) >= 2
+
+
+def test_pmi_dictionary_joins_and_takeordered(q):
+    """Bigrams come from each doc's own token array (no self-join); the
+    final ranking is a TakeOrdered."""
+    plan = pi.formatted_plan(q("text_pmi_collocations"))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_markov_stationary_iterations_broadcast(q):
+    """All 8 power iterations join against the broadcast k^2 transition
+    matrix — the corpus is touched once."""
+    df = q("agg_markov_stationary_power")
+    assert pi.broadcast_join_count(df) >= 8, pi.simple_plan(df)
+
+
+def test_interval_union_single_partitioning(q):
+    """Cummax sweep + island rollups all share the user_id keying; no
+    interval self-join exists."""
+    df = q("interval_union_duration")
+    assert pi.shuffle_count(df) <= 3, pi.simple_plan(df)
+    assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_health_report_one_scan(q):
+    """The whole per-source dashboard is one scan + the two-phase
+    distinct-aggregate exchange."""
+    df = q("corpus_health_report")
+    assert pi.scan_count(df) == 1
+    assert pi.shuffle_count(df) <= 2, pi.simple_plan(df)
+
+
+def test_gini_split_argmax_is_takeordered(q):
+    """Split search runs on the bounded bin histogram; the argmax is a
+    total-ordered LIMIT 1."""
+    plan = pi.formatted_plan(q("stats_gini_split_gain"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_decay_selection_is_takeordered(q):
+    """Top users by decayed score: TakeOrdered, no global sort."""
+    plan = pi.formatted_plan(q("agg_time_decay_score"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decile_lift_no_global_ntile(q):
+    """Deciles come from broadcast histogram cuts, never an ntile window
+    over the corpus."""
+    plan = pi.formatted_plan(q("eval_decile_lift_table"))
+    assert "ntile" not in plan.lower()
+
+
+def test_cuped_stats_broadcast(q):
+    """Theta and the per-arm rollup are broadcast-sized sufficient
+    statistics over the user table."""
+    assert pi.broadcast_join_count(q("ab_cuped_adjustment")) >= 2
