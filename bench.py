@@ -112,6 +112,19 @@ HEADLINE = [
     "join_string_prefix_filter",  # q-gram prefix-filter similarity join
     "stats_permutation_test",   # 16 relabelings in one scan
     "ts_mann_kendall_trend",    # trend test on per-key daily rollups
+    "stats_quantile_normalize",  # histogram-reconstructed quantile mapping
+    "attribution_multitouch_ushape",  # one-user-shuffle position attribution
+    "search_rrf_fusion",        # hybrid-rank fusion over TakeOrdered lists
+    "graph_node2vec_biased_walk",  # second-order walk, keyed hop joins
+    "dedup_cdc_chunking",       # content-defined chunk dedup (linear explode)
+    "ts_holt_linear_forecast",  # per-key double-smoothing fold
+    "interval_union_duration",  # cummax interval-union sweep
+    "agg_markov_stationary_power",  # 8 broadcast power iterations
+    "sample_dsir_hashed_importance",  # broadcast importance-model scoring
+    "eval_decile_lift_table",   # histogram-cut gains/lift report
+    "ab_cuped_adjustment",      # CUPED sufficient-stat adjustment
+    "graph_label_propagation_sync",  # 3 synchronous LPA rounds
+    "er_blocking_quality_report",  # LSH blocking completeness/reduction audit
 ]
 
 
