@@ -297,9 +297,10 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: cosine rounds to 6 decimals with vec_id tie-break — the
     same pinned ordering simsearch_topk_bruteforce hash-matches on.
     Scale shape: the {_MRR_N_QUERIES}-row probe set broadcasts; the corpus
-    scores map-only (no corpus shuffle for scoring), then one window
-    partitioned BY QUERY ranks candidates — partitions are per-probe, so
-    parallelism grows with the eval set, never a global sort."""
+    scores map-only (no corpus shuffle for scoring); the per-query top-10
+    uses the salted two-stage exact top-k (rank in (query, salt) keep k,
+    re-rank the bounded survivors per query — sample_domain_cap's
+    pattern), so no reducer ever sorts a whole query's score column."""
     e = (
         load(spark, sf_dir, "embeddings")
         .withColumn("v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -336,8 +337,22 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
+    # salted two-stage exact top-k (sample_domain_cap's pattern): stage 1
+    # ranks inside (q_id, salt) buckets and keeps k per bucket, stage 2
+    # re-ranks the <= 8k survivors per query — identical to a single
+    # per-query rank, but no reducer ever sorts a whole query's corpus.
+    salt = (F.xxhash64("vec_id") % 8).alias("salt")
+    w1 = Window.partitionBy("q_id", "salt").orderBy(F.col("cos").desc(), "vec_id")
+    pre = (
+        scored.select("q_id", "qlabel", "label", "cos", "vec_id", salt)
+        .select(
+            "q_id", "qlabel", "label", "cos", "vec_id",
+            F.row_number().over(w1).alias("r1"),
+        )
+        .filter(F.col("r1") <= _MRR_DEPTH)
+    )
     wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    ranked = scored.select(
+    ranked = pre.select(
         "q_id", "qlabel", "label", F.row_number().over(wq).alias("rnk")
     ).filter(F.col("rnk") <= _MRR_DEPTH)
     hits = ranked.groupBy("q_id").agg(

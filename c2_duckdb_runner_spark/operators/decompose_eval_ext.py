@@ -437,8 +437,9 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates a float log, so the scores hash-match exactly.
 
     Scale shape identical to search_mrr_eval: broadcast probes, map-only
-    corpus scoring, per-probe rank windows. The ideal-list construction
-    explodes a constant 10-element range per probe."""
+    corpus scoring, salted two-stage per-query top-k (no reducer sorts a
+    whole query's scores); the ideal-list size is a plain per-query
+    count, and its construction explodes a constant 10-element range."""
     e = (
         load(spark, sf_dir, "embeddings")
         .withColumn("v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -475,8 +476,21 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
+    # salted two-stage exact top-k (sample_domain_cap's pattern): no
+    # reducer ever sorts a whole query's corpus; the ideal-list size is
+    # counted from the unranked scores, so it needs no window at all.
+    salt = (F.xxhash64("vec_id") % 8).alias("salt")
+    w1 = Window.partitionBy("q_id", "salt").orderBy(F.col("cos").desc(), "vec_id")
+    pre = (
+        scored.select("q_id", "qlabel", "label", "cos", "vec_id", salt)
+        .select(
+            "q_id", "qlabel", "label", "cos", "vec_id",
+            F.row_number().over(w1).alias("r1"),
+        )
+        .filter(F.col("r1") <= _NDCG_DEPTH)
+    )
     wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    ranked = scored.select(
+    ranked = pre.select(
         "q_id", "qlabel", "label", F.row_number().over(wq).alias("rnk")
     )
     dcg = (
@@ -497,7 +511,7 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrel = (
-        ranked.filter(F.col("label") == F.col("qlabel"))
+        scored.filter(F.col("label") == F.col("qlabel"))
         .groupBy("q_id")
         .agg(
             F.least(F.count("*").cast("bigint"), F.lit(_NDCG_DEPTH).cast("bigint")).alias(
