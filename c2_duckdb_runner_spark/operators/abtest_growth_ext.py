@@ -243,12 +243,17 @@ def graph_label_propagation_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from c2_duckdb_runner_spark.session import scratch_persist
 
+    # Persist hash-partitioned on dst: every round's message join keys on
+    # dst = label-carrier id, so the cached layout is reused by all rounds
+    # instead of re-exchanging |E| rows per round.
     edges = scratch_persist(
         pairs.select(
             F.col("o_custkey").alias("src"), F.col("supp").alias("dst")
-        ).union(
+        )
+        .union(
             pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
         )
+        .repartition(F.col("dst"))
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")

@@ -140,12 +140,18 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp"))
         .distinct()
     )
+    # Persist the edge relation ALREADY hash-partitioned on src: every hop
+    # joins on cur = src and the adjacency-check joins on prev = psrc, so
+    # caching the partitioned layout lets all 2x{_N2V_BIASED_STEPS}+1 joins
+    # reuse it instead of re-exchanging |E| rows per hop.
     edges = scratch_persist(
         pairs.select(
             F.col("o_custkey").alias("src"), F.col("supp").alias("dst")
-        ).union(
+        )
+        .union(
             pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
         )
+        .repartition(F.col("src"))
     )
     wsrc = Window.partitionBy("src")
     ranked = edges.select(
