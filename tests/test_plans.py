@@ -910,3 +910,67 @@ def test_cuped_stats_broadcast(q):
     """Theta and the per-arm rollup are broadcast-sized sufficient
     statistics over the user table."""
     assert pi.broadcast_join_count(q("ab_cuped_adjustment")) >= 2
+
+
+# --- round-4 final additions ---
+
+
+def test_mde_check_single_scan(q):
+    """The power calculation reduces to 1-row sufficient statistics."""
+    df = q("ab_power_mde_check")
+    assert pi.scan_count(df) == 1
+    assert pi.shuffle_count(df) <= 1
+
+
+def test_topn_plus_other_takeordered(q):
+    """Head selection is a TakeOrdered; the tail is total-minus-top."""
+    plan = pi.formatted_plan(q("agg_topn_plus_other"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stl_anomaly_thresholds_broadcast(q):
+    """Per-key median and MAD tables broadcast back to the daily rows."""
+    assert pi.broadcast_join_count(q("ts_anomaly_stl_residual")) >= 2
+
+
+def test_skyline_two_stage_windows(q):
+    """Distributive skyline: bucketed local sweeps + a global sweep over
+    the bounded union — window frames, never a dominance self-join."""
+    plan = pi.formatted_plan(q("query_skyline_pareto"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_em_iteration_blocked_join(q):
+    """Hard-EM consumes the same blocked candidate join as the F-S
+    scorer — no cross product of the customer sides."""
+    plan = pi.formatted_plan(q("er_em_hard_iteration"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fifo_waterfall_single_keying(q):
+    """Prefix-sum window + rollups all share the customer keying."""
+    df = q("alloc_fifo_waterfall")
+    assert pi.shuffle_count(df) <= 3, pi.simple_plan(df)
+
+
+def test_confusion_matrix_one_scan(q):
+    """Score + classify map-side; marginals run over the cell table."""
+    assert pi.scan_count(q("eval_confusion_matrix_langid")) == 1
+
+
+def test_markov_removal_broadcast_iterations(q):
+    """All five removal runs share one iteration loop over the broadcast
+    transition matrix — the corpus is scanned for journeys only."""
+    df = q("attribution_markov_removal")
+    assert pi.broadcast_join_count(df) >= 8, pi.simple_plan(df)
+
+
+def test_basket_affinity_takeordered_no_cartesian(q):
+    """Pairs come from the order-keyed self-join (bounded basket fanout);
+    ranking is a TakeOrdered."""
+    plan = pi.formatted_plan(q("agg_basket_affinity_lift"))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
