@@ -125,6 +125,12 @@ HEADLINE = [
     "ab_cuped_adjustment",      # CUPED sufficient-stat adjustment
     "graph_label_propagation_sync",  # 3 synchronous LPA rounds
     "er_blocking_quality_report",  # LSH blocking completeness/reduction audit
+    "attribution_markov_removal",  # 5-run removal-effect power iteration
+    "query_skyline_pareto",     # distributive two-stage Pareto skyline
+    "agg_basket_affinity_lift",  # order-keyed market-basket lift
+    "alloc_fifo_waterfall",     # prefix-sum FIFO payment application
+    "join_bitemporal_asof_aswas",  # two-timeline as-was/as-is windows
+    "corpus_dataset_card",      # one-row corpus summary (3 reduced scans)
 ]
 
 
