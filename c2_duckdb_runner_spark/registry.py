@@ -148,6 +148,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.markov_attribution_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.wau_contamination_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.control_calibration_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.streaks_backlog_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
