@@ -131,6 +131,8 @@ HEADLINE = [
     "alloc_fifo_waterfall",     # prefix-sum FIFO payment application
     "join_bitemporal_asof_aswas",  # two-timeline as-was/as-is windows
     "corpus_dataset_card",      # one-row corpus summary (3 reduced scans)
+    "agg_rolling_wau_delta",    # delta-encoded trailing-7d actives
+    "er_golden_record_survivorship",  # blocked-match survivorship rules
 ]
 
 
