@@ -149,6 +149,9 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.wau_contamination_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.control_calibration_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.streaks_backlog_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.drift_eval_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.simjoin_symbolic_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.agreement_privacy_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

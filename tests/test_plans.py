@@ -974,3 +974,110 @@ def test_basket_affinity_takeordered_no_cartesian(q):
     plan = pi.formatted_plan(q("agg_basket_affinity_lift"))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_auc_window_over_histogram(q):
+    """The rank-sum window runs over the per-score histogram, never the raw
+    rows: one data-sized shuffle (the score groupBy), then bounded-domain
+    plan nodes."""
+    df = q("eval_auc_rank")
+    plan = pi.formatted_plan(df)
+    assert "Window" in plan
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_psi_one_conditional_scan(q):
+    """Both period histograms come from ONE conditional-sum scan; the
+    10-bin grid joins broadcast."""
+    df = q("stats_psi_drift")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_mutual_information_cell_table_reused(q):
+    """Margins derive from the persisted cell table (InMemoryTableScan),
+    not re-scans of events; scalar combines are broadcast."""
+    df = q("stats_mutual_information")
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert pi.scan_count(df) <= 1, pi.simple_plan(df)
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_welch_single_scan_no_join(q):
+    """n/Σx/Σx² per group in one map-side-combinable pass; the float tail
+    is a 1-row select — no join anywhere."""
+    df = q("stats_welch_tstat")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_bh_fdr_single_scan(q):
+    """All 24 permutation statistics are conditional sums in ONE customer
+    scan; BH runs on the 25-nation frame."""
+    df = q("stats_bh_fdr")
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_prefix_simjoin_no_cartesian_reuses_shingles(q):
+    """Candidate generation joins only prefix (rarest) shingles; the
+    shingle relation is built once (persisted) and reused for ranking,
+    sizes, and verification."""
+    df = q("join_set_similarity_prefix")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_sax_window_over_daily_rollup(q):
+    """NTILE runs over the calendar-bounded daily rollup, downstream of the
+    one data-sized groupBy."""
+    df = q("ts_sax_symbolic")
+    plan = pi.formatted_plan(df)
+    assert "Window" in plan
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_wl_refinement_per_round_keyed_shuffle(q):
+    """Each WL round joins edges to the persisted color relation — no
+    cartesian, colors reused via cache, PageRank-like cost per round."""
+    df = q("graph_wl_refinement")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_err_query_side_broadcast(q):
+    """ERR scoring broadcasts the 10-query side; the corpus never
+    shuffles for scoring (same contract as NDCG/BM25)."""
+    df = q("search_err_eval")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_l_diversity_single_shuffle(q):
+    """QI-group audit is one keyed aggregate."""
+    df = q("privacy_l_diversity")
+    assert pi.scan_count(df) == 1
+    assert pi.shuffle_count(df) <= 2, pi.simple_plan(df)
+
+
+def test_kappa_cell_table_reused(q):
+    """Margins and cross-products derive from the persisted 3x3 cell
+    table, not document re-scans."""
+    df = q("stats_cohens_kappa")
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert pi.scan_count(df) <= 1, pi.simple_plan(df)
+
+
+def test_spearman_ranks_over_daily_rollup(q):
+    """Both rank windows run downstream of the one daily groupBy."""
+    df = q("stats_spearman_daily")
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
