@@ -1081,3 +1081,42 @@ def test_spearman_ranks_over_daily_rollup(q):
     df = q("stats_spearman_daily")
     assert pi.scan_count(df) == 1
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_kendall_pairs_over_cached_daily_ranks(q):
+    """The O(days²) pair join reads the persisted rank relation, not the
+    events source twice."""
+    df = q("ts_kendall_tau_daily")
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert pi.scan_count(df) <= 1, pi.simple_plan(df)
+
+
+def test_rich_club_all_thresholds_one_pass(q):
+    """All four k thresholds are conditional sums over ONE annotated edge
+    relation (persisted pairs/degrees), never a pass per threshold."""
+    df = q("graph_rich_club")
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brier_single_scan_no_join(q):
+    df = q("eval_brier_score")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_mcnemar_single_scan_no_join(q):
+    df = q("eval_mcnemar_paired")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_hhi_single_keyed_join(q):
+    """One orders→customer key join, then 25-row folds."""
+    df = q("agg_herfindahl_hhi")
+    assert pi.scan_count(df) == 2
+    assert "CartesianProduct" not in pi.formatted_plan(df)
