@@ -1120,3 +1120,45 @@ def test_hhi_single_keyed_join(q):
     df = q("agg_herfindahl_hhi")
     assert pi.scan_count(df) == 2
     assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_t_closeness_grid_broadcast_windows(q):
+    """Band spine and group cells broadcast into the grid; cum windows
+    partition by QI group."""
+    df = q("privacy_t_closeness")
+    plan = pi.formatted_plan(df)
+    assert pi.broadcast_join_count(df) >= 2, pi.simple_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_fbeta_sweep_no_row_explosion(q):
+    """All 18 threshold counts are conditional sums in ONE scan — no
+    row x threshold join on the data side."""
+    df = q("eval_fbeta_threshold_sweep")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_drawdown_takeordered_over_daily(q):
+    df = q("ts_max_drawdown")
+    plan = pi.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert pi.scan_count(df) == 1
+
+
+def test_neyman_single_scan_apportionment(q):
+    """Strata moments in one keyed scan; apportionment over 25 rows."""
+    df = q("sample_neyman_allocation")
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_condorcet_duel_is_broadcast_of_bounded_union(q):
+    """The duel matrix self-joins the persisted bounded candidate union
+    via broadcast; ranking output is a TakeOrdered."""
+    df = q("search_fusion_condorcet")
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert pi.sortmerge_join_count(df) == 0
