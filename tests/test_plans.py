@@ -1162,3 +1162,38 @@ def test_condorcet_duel_is_broadcast_of_bounded_union(q):
     assert "InMemoryTableScan" in plan
     assert "TakeOrderedAndProject" in plan
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_pareto_point_no_global_row_window(q):
+    """Crossing point located in the distinct-spend histogram — windows
+    run over values, not customer rows; no ntile."""
+    df = q("agg_pareto_8020")
+    plan = pi.formatted_plan(df)
+    assert "ntile" not in plan.lower()
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_lorenz_cuts_broadcast_no_ntile(q):
+    """Deciles from broadcast histogram cuts (decile-lift mechanism);
+    per-customer rollup persisted so cuts + assignment share one pass."""
+    df = q("agg_lorenz_deciles")
+    plan = pi.formatted_plan(df)
+    assert "ntile" not in plan.lower()
+    assert "InMemoryTableScan" in plan
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_modularity_labeled_edges_reused(q):
+    """Intra counts and both degree sums read the persisted labeled edge
+    relation; community folds are 25-row plans."""
+    df = q("graph_modularity_nation")
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cochran_q_single_scan_no_join(q):
+    df = q("stats_cochran_q")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sortmerge_join_count(df) == 0
