@@ -133,6 +133,11 @@ HEADLINE = [
     "corpus_dataset_card",      # one-row corpus summary (3 reduced scans)
     "agg_rolling_wau_delta",    # delta-encoded trailing-7d actives
     "er_golden_record_survivorship",  # blocked-match survivorship rules
+    "join_set_similarity_prefix",  # exact prefix-filtered Jaccard join
+    "graph_wl_refinement",      # 2 WL color-refinement rounds (keyed joins)
+    "eval_auc_rank",            # exact AUC over the score histogram
+    "privacy_t_closeness",      # EMD audit over QI-group band grids
+    "agg_lorenz_deciles",       # broadcast-cut Lorenz curve
 ]
 
 

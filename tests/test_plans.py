@@ -1197,3 +1197,29 @@ def test_cochran_q_single_scan_no_join(q):
     assert pi.scan_count(df) == 1
     assert pi.broadcast_join_count(df) == 0
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_friedman_ranks_per_day_partition(q):
+    """Within-block ranks partition BY DAY (5-row partitions); treatment
+    folds run on 5 rows."""
+    df = q("stats_friedman_test")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_rbo_suffix_weights_inlined(q):
+    """RBO terms come from the inlined integer suffix-weight CASE — no
+    float pow in the plan."""
+    df = q("search_rbo_overlap")
+    plan = pi.formatted_plan(df)
+    assert "POWER" not in plan.upper().replace("powereduc", "")
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_seasonality_strength_broadcast_fit(q):
+    """The weekday-mean fit joins back broadcast; SS folds are keyed
+    aggregates over the calendar-bounded series."""
+    df = q("ts_seasonality_strength")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.scan_count(df) <= 2
