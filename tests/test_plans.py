@@ -1223,3 +1223,20 @@ def test_seasonality_strength_broadcast_fit(q):
     df = q("ts_seasonality_strength")
     assert pi.broadcast_join_count(df) >= 1
     assert pi.scan_count(df) <= 2
+
+
+def test_sprt_walk_over_daily_cumsum(q):
+    """The LLR walk is an integer cumsum over the persisted daily rollup;
+    decision/final picks are TakeOrdered over days."""
+    df = q("ab_sequential_sprt")
+    plan = pi.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_brown_forsythe_median_broadcast(q):
+    """Group lower medians join back broadcast; moments are one keyed
+    scan after the rank window."""
+    df = q("stats_brown_forsythe")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
