@@ -55,25 +55,27 @@ FROM v WHERE inter*10 >= uni*8
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tok): distinct 3-word shingles per doc, i ∈ [1, len−3]
-    1-based — token-identical to the oracle's range(1, greatest(len-2,1))
-    (docs with ≤ 3 words emit nothing on both engines)."""
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sarr, n): the distinct 3-word shingle SET per doc as an
+    array, i ∈ [1, len−3] 1-based — token-identical to the oracle's
+    range(1, greatest(len-2,1)) (docs with ≤ 3 words get an empty set on
+    both engines). Map-only: the set is per-row state."""
     return (
         load_spread(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", F.split("text", " ").alias("w"))
         .select(
             "doc_id",
-            F.explode(
-                F.when(
-                    F.expr("size(w) >= 4"),
-                    F.expr(
-                        "array_distinct(transform(sequence(1, size(w)-3),"
-                        " i -> concat_ws(' ', slice(w, i, 3))))"
-                    ),
-                ).otherwise(F.expr("array()"))
-            ).alias("tok"),
+            F.when(
+                F.expr("size(w) >= 4"),
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(w)-3),"
+                    " i -> concat_ws(' ', slice(w, i, 3))))"
+                ),
+            )
+            .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+            .alias("sarr"),
         )
+        .withColumn("n", F.expr("CAST(size(sarr) AS BIGINT)"))
     )
 
 
@@ -96,15 +98,11 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     length filters to shrink candidates further."""
     from c2_duckdb_runner_spark.session import scratch_persist
 
-    sh = scratch_persist(_shingles(spark, sf_dir))
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sets = scratch_persist(_shingle_sets(spark, sf_dir))
+    sh = sets.select("doc_id", "n", F.explode("sarr").alias("tok"))
     df = sh.groupBy("tok").agg(F.count("*").alias("df"))
-    rk = (
-        sh.join(df, "tok")
-        .join(sz, "doc_id")
-        .withColumn(
-            "r", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok"))
-        )
+    rk = sh.join(df, "tok").withColumn(
+        "r", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok"))
     )
     pref = rk.where(F.expr("r <= n - ((8*n+9) DIV 10) + 1")).select("doc_id", "tok")
     a = pref.alias("a")
@@ -114,24 +112,30 @@ def join_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("a_id"), F.col("tok").alias("xtok"))
-    y = sh.select(F.col("doc_id").alias("yb_id"), F.col("tok").alias("ytok"))
-    inter = (
-        cand.join(x, "a_id")
-        .join(y, (F.col("b_id") == F.col("yb_id")) & (F.col("xtok") == F.col("ytok")))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
+    # verification: ONE row per candidate pair carrying both shingle SETS —
+    # array_intersect per pair instead of a 2·|T|-row explode + regroup
+    # (saves the (a_id,b_id)-keyed aggregation shuffle entirely; the set is
+    # per-row bounded state, the PPJoin verification contract)
+    xa = sets.select(
+        F.col("doc_id").alias("a_id"), F.col("sarr").alias("sa"), F.col("n").alias("na")
     )
-    za = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    zb = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    xb = sets.select(
+        F.col("doc_id").alias("b_id"), F.col("sarr").alias("sb"), F.col("n").alias("nb")
+    )
     return (
-        inter.join(za, "a_id")
-        .join(zb, "b_id")
+        cand.join(xa, "a_id")
+        .join(xb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)").alias("inter"),
+            F.expr("na + nb").alias("nn"),
+        )
         .select(
             "a_id",
             "b_id",
             "inter",
-            F.expr("na + nb - inter").alias("uni"),
+            F.expr("nn - inter").alias("uni"),
         )
         .where(F.expr("inter*10 >= uni*8"))
     )

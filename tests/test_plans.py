@@ -1240,3 +1240,55 @@ def test_brown_forsythe_median_broadcast(q):
     df = q("stats_brown_forsythe")
     assert pi.broadcast_join_count(df) >= 1
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_span_corruption_map_only(q):
+    """The masking transform is map-only per-row array surgery — no
+    shuffle beyond load_spread's compute-spreading repartition."""
+    df = q("pipeline_span_corruption_mask")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_soft_dedup_no_pair_enumeration(q):
+    """SoftDeDup never enumerates pairs: one fingerprint groupBy + one
+    keyed join back."""
+    df = q("dedup_soft_weights")
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_kl_single_scan(q):
+    """Both distributions from ONE conditional-sum scan; the fold runs
+    on the bounded source domain."""
+    df = q("mixture_kl_divergence")
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_pass_at_k_task_partitioned(q):
+    """Attempt ranks partition by task; no global window, no join."""
+    df = q("eval_pass_at_k")
+    assert pi.scan_count(df) == 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_bayes_rate_single_scan(q):
+    df = q("agg_bayes_smoothed_rate")
+    assert pi.scan_count(df) == 1
+    assert pi.shuffle_count(df) <= 2
+
+
+def test_wilson_single_scan(q):
+    df = q("rank_wilson_lower_bound")
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_ljung_box_type_partitioned_windows(q):
+    """Lead windows partition by event type; the mean fit broadcasts."""
+    df = q("ts_ljung_box")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
