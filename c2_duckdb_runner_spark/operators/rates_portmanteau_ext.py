@@ -175,9 +175,9 @@ r AS (
   FROM num
 )
 SELECT event_type, n,
-  CAST(n*(n+2)*(r1*r1 // (n-1) + r2*r2 // (n-2) + r3*r3 // (n-3)) AS BIGINT)
+  CAST(n*(n+2)*(r1*r1 // GREATEST(n-1, 1) + r2*r2 // GREATEST(n-2, 1) + r3*r3 // GREATEST(n-3, 1)) AS BIGINT)
     AS q_micro2,
-  CAST(CASE WHEN n*(n+2)*(r1*r1 // (n-1) + r2*r2 // (n-2) + r3*r3 // (n-3))
+  CAST(CASE WHEN n*(n+2)*(r1*r1 // GREATEST(n-1, 1) + r2*r2 // GREATEST(n-2, 1) + r3*r3 // GREATEST(n-3, 1))
             >= {_LB_THRESH} THEN 1 ELSE 0 END AS INT) AS autocorrelated
 FROM r
 """
@@ -244,11 +244,11 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.expr(
-            "CAST(n*(n+2)*(r1*r1 DIV (n-1) + r2*r2 DIV (n-2)"
-            " + r3*r3 DIV (n-3)) AS BIGINT)"
+            "CAST(n*(n+2)*(r1*r1 DIV GREATEST(n-1, 1) + r2*r2 DIV GREATEST(n-2, 1)"
+            " + r3*r3 DIV GREATEST(n-3, 1)) AS BIGINT)"
         ).alias("q_micro2"),
         F.expr(
-            f"CAST(CASE WHEN n*(n+2)*(r1*r1 DIV (n-1) + r2*r2 DIV (n-2)"
-            f" + r3*r3 DIV (n-3)) >= {_LB_THRESH} THEN 1 ELSE 0 END AS INT)"
+            f"CAST(CASE WHEN n*(n+2)*(r1*r1 DIV GREATEST(n-1, 1) + r2*r2 DIV GREATEST(n-2, 1)"
+            f" + r3*r3 DIV GREATEST(n-3, 1)) >= {_LB_THRESH} THEN 1 ELSE 0 END AS INT)"
         ).alias("autocorrelated"),
     )
