@@ -306,8 +306,8 @@ w AS (
 tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM w),
 q AS (
   SELECT nk, n_h, wt,
-         CAST((100*wt) // wsum AS BIGINT) AS base,
-         CAST((100*wt) % wsum AS BIGINT) AS rem
+         CAST((100*wt) // GREATEST(wsum, 1) AS BIGINT) AS base,
+         CAST((100*wt) % GREATEST(wsum, 1) AS BIGINT) AS rem
   FROM w, tot
 ),
 r AS (
@@ -364,8 +364,8 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nk",
         "n_h",
         "wt",
-        F.expr("CAST((100*wt) DIV wsum AS BIGINT)").alias("base"),
-        F.expr("CAST((100*wt) % wsum AS BIGINT)").alias("rem"),
+        F.expr("CAST((100*wt) DIV GREATEST(wsum, 1) AS BIGINT)").alias("base"),
+        F.expr("CAST((100*wt) % GREATEST(wsum, 1) AS BIGINT)").alias("rem"),
     )
     r = q.withColumn(
         "rr", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("nk")))
