@@ -321,7 +321,12 @@ def main() -> None:
     # guaranteed parseable no matter how the headline set grows.
     _BUDGET = 1950  # chars; driver tail is 2000, leave newline + drift room
 
-    def _compact_line(qdict: dict[str, float], omitted: int, omitted_sec: float) -> str:
+    def _compact_line(
+        qdict: dict[str, float],
+        omitted: int,
+        omitted_sec: float,
+        omitted_max: float,
+    ) -> str:
         obj = {
             "metric": "headline_queries_total_wall",
             "value": total,
@@ -333,20 +338,28 @@ def main() -> None:
         if omitted:
             obj["omitted"] = omitted
             obj["omitted_sec"] = round(omitted_sec, 2)
+            # per-query bound: the artifact itself proves no expensive
+            # query hides in the omitted tail (round-4 verdict ask)
+            obj["omitted_max"] = round(omitted_max, 2)
         if errors:
             obj["errors"] = len(errors)
         return json.dumps(obj, separators=(",", ":"))
 
     shown = dict(timings)
     omitted_sec = 0.0
+    omitted_max = 0.0
     # drop cheapest-first so the expensive (plan-interesting) queries stay
     drop_order = sorted(timings, key=lambda k: (timings[k], k))
-    line = _compact_line(shown, 0, 0.0)
+    line = _compact_line(shown, 0, 0.0, 0.0)
     for victim in drop_order:
         if len(line) <= _BUDGET:
             break
-        omitted_sec += shown.pop(victim)
-        line = _compact_line(shown, len(timings) - len(shown), omitted_sec)
+        dropped = shown.pop(victim)
+        omitted_sec += dropped
+        omitted_max = max(omitted_max, dropped)
+        line = _compact_line(
+            shown, len(timings) - len(shown), omitted_sec, omitted_max
+        )
 
     # --- untimed stage-metrics pass ------------------------------------
     # Fresh session WITH event logging, one run per query under its own job

@@ -427,38 +427,45 @@ def search_fusion_condorcet(spark: SparkSession, sf_dir: str) -> DataFrame:
     voting-theoretic alternative to search_rrf_fusion: immune to score
     scale, sensitive only to order.
 
-    Scale shape: global ranking windows produce the candidate union
-    (≤ 60 rows = Σ list depths — BOUNDED by the fusion depth, never the
-    corpus); the duel matrix is a broadcast self-join of that bounded
-    relation. At production the per-ranker top-k would arrive pre-cut
-    (TakeOrdered), keeping the duel input k-sized."""
+    Scale shape: each ranker's top-20 is PRE-CUT with orderBy().limit(20)
+    — a TakeOrderedAndProject (k rows per partition, merged on the
+    driver), never a single-reducer global ROW_NUMBER over the corpus.
+    Ranks are then assigned by a window over each BOUNDED 20-row list
+    (the same per-shard-merge shape a search head uses), the candidate
+    union is a full-outer join of three 20-row lists, and the duel
+    matrix is a broadcast self-join of that ≤60-row relation."""
     d = load(spark, sf_dir, "documents")
-    ranked = d.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
-        .alias("r1"),
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.desc(F.expr("size(split(text, ' '))")), F.asc("doc_id")
-            )
+
+    def _top20(keyed: DataFrame, sort_cols, alias: str) -> DataFrame:
+        cut = keyed.orderBy(*sort_cols).limit(20)
+        return cut.select(
+            "doc_id",
+            F.row_number().over(Window.orderBy(*sort_cols)).alias(alias),
         )
-        .alias("r2"),
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.expr("md5(CAST(doc_id AS STRING))"), F.asc("doc_id")
-            )
-        )
-        .alias("r3"),
+
+    r1 = _top20(
+        d.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        "r1",
+    )
+    r2 = _top20(
+        d.select("doc_id", F.expr("size(split(text, ' '))").alias("ntok")),
+        [F.desc("ntok"), F.asc("doc_id")],
+        "r2",
+    )
+    r3 = _top20(
+        d.select("doc_id", F.expr("md5(CAST(doc_id AS STRING))").alias("h")),
+        [F.asc("h"), F.asc("doc_id")],
+        "r3",
     )
     cand = scratch_persist(
-        ranked.where("r1 <= 20 OR r2 <= 20 OR r3 <= 20").select(
+        r1.join(r2, "doc_id", "full_outer")
+        .join(r3, "doc_id", "full_outer")
+        .select(
             "doc_id",
-            F.expr("CASE WHEN r1 <= 20 THEN r1 ELSE 999 END").alias("r1"),
-            F.expr("CASE WHEN r2 <= 20 THEN r2 ELSE 999 END").alias("r2"),
-            F.expr("CASE WHEN r3 <= 20 THEN r3 ELSE 999 END").alias("r3"),
+            F.coalesce("r1", F.lit(999)).alias("r1"),
+            F.coalesce("r2", F.lit(999)).alias("r2"),
+            F.coalesce("r3", F.lit(999)).alias("r3"),
         )
     )
     b = cand.select(

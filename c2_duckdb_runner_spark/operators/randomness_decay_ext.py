@@ -64,15 +64,20 @@ def text_zipf_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a log. The doubling probe needs only |{_ZIPF_RANKS}| rank lookups,
     not the whole curve.
 
-    Scale shape: the global rank window runs over the VOCABULARY (the
-    distinct-word aggregate, bounded by the language, not the corpus) —
-    the corpus itself only streams through one token count. The
-    rank-to-double-rank pairing is a self-join on the tiny probe set."""
+    Scale shape: the corpus only streams through one token count; only
+    ranks ≤ 2·max(probe rank) are ever consumed, so the vocabulary-sized
+    count table is PRE-CUT with orderBy().limit(2·32) — a
+    TakeOrderedAndProject — and the rank window runs over that BOUNDED
+    64-row list, never a single-reducer sort of the whole vocabulary.
+    The rank-to-double-rank pairing is a self-join on the tiny probe
+    set."""
     t = load(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("w")
     )
     cnt = t.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
-    ranked = cnt.select(
+    # only ranks up to 2*max(_ZIPF_RANKS) feed the probe — cut first
+    top = cnt.orderBy(F.col("c").desc(), "w").limit(2 * max(_ZIPF_RANKS))
+    ranked = top.select(
         "w",
         "c",
         F.row_number().over(Window.orderBy(F.col("c").desc(), "w")).alias("r"),

@@ -153,21 +153,35 @@ def search_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Where search_rrf_fusion/search_fusion_condorcet COMBINE rankers,
     RBO quantifies their agreement — the metric you check BEFORE fusing.
 
-    Scale: the global ranking windows are the generic top-k reduction
-    (TakeOrdered in production); everything after runs on ≤ 10 rows."""
+    Scale: each ranker's top-10 is PRE-CUT with orderBy().limit(10) — a
+    TakeOrderedAndProject, never a single-reducer global window over the
+    corpus. Ranks are assigned over the two BOUNDED 10-row lists and the
+    `ra<=10 AND rb<=10` intersection becomes an inner join of those
+    lists; everything after runs on ≤ 10 rows."""
     d = load(spark, sf_dir, "documents")
-    ranked = d.select(
+    cand_a = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+    rank_a = cand_a.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
         .alias("ra"),
+    )
+    cand_b = (
+        d.select("doc_id", F.expr("size(split(text, ' '))").alias("ntok"))
+        .orderBy(F.desc("ntok"), F.asc("doc_id"))
+        .limit(10)
+    )
+    rank_b = cand_b.select(
+        "doc_id",
         F.row_number()
-        .over(
-            Window.orderBy(F.desc(F.expr("size(split(text, ' '))")), F.asc("doc_id"))
-        )
+        .over(Window.orderBy(F.desc("ntok"), F.asc("doc_id")))
         .alias("rb"),
     )
-    both = ranked.where("ra <= 10 AND rb <= 10").select(
+    both = rank_a.join(rank_b, "doc_id").select(
         F.greatest("ra", "rb").alias("m")
     )
     agg = both.agg(

@@ -125,3 +125,47 @@ def plan_report(df: DataFrame) -> dict:
         "codegen_spans": codegen_span_count(df),
         "scans": scan_count(df),
     }
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide single-reducer-window guard
+# ---------------------------------------------------------------------------
+
+#: Logical nodes that bound the row count flowing into a window. A Limit
+#: means a TakeOrdered/driver-merged cut already happened; an Aggregate
+#: means the window ranks a grouped relation (key-cardinality-sized, the
+#: distinct-value-histogram mechanism), not the raw fact stream.
+_BOUNDING_NODES = frozenset(
+    {"GlobalLimit", "LocalLimit", "Aggregate", "Sample", "Deduplicate"}
+)
+
+
+def _walk_jplan(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_jplan(children.apply(i))
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose subtree contains no
+    Limit/Aggregate — i.e. a single-reducer global sort of a raw, unbounded
+    relation. This is THE shape that kills a ranking plan at 100 TB (every
+    row funnels through one WindowExec partition); returns the offending
+    nodes' simpleStrings so tests can forbid it repo-wide.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+    for node in _walk_jplan(plan):
+        if node.nodeName() != "Window":
+            continue
+        if node.partitionSpec().size() > 0:
+            continue
+        bounded = any(
+            child.nodeName() in _BOUNDING_NODES
+            for i in [node.children().apply(0)]
+            for child in _walk_jplan(i)
+        )
+        if not bounded:
+            bad.append(node.simpleString(25))
+    return bad

@@ -100,19 +100,20 @@ def _jvm_read_syscalls(spark: SparkSession) -> int:
     return 0
 
 
-def _fs_bytes_ops(spark: SparkSession) -> tuple[int, int, bool]:
+def _fs_bytes_ops(spark: SparkSession) -> tuple[int, int, int]:
     """Bytes from Hadoop FileSystem.Statistics (post-pushdown bytes the
-    engine requested — the reference's headline metric, main.cc:333-334);
-    ops from Hadoop where the scheme reports them (HDFS/S3A), else from the
-    JVM's kernel read-syscall counter (local fs, see _jvm_read_syscalls)."""
+    engine requested — the reference's headline metric, main.cc:333-334),
+    plus BOTH op counters: Hadoop readOps (HDFS/S3A) and the JVM's kernel
+    read-syscall count (local fs, see _jvm_read_syscalls). Every snapshot
+    carries both units; the caller picks ONE source for the delta after the
+    run, so a scheme that starts reporting mid-run can never mix a syscall
+    count on one end with a (much smaller) Hadoop op count on the other."""
     jvm = spark.sparkContext._jvm
-    total_bytes = total_ops = 0
+    total_bytes = hadoop_ops = 0
     for s in jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics():
         total_bytes += s.getBytesRead()
-        total_ops += s.getReadOps() + s.getLargeReadOps()
-    if total_ops == 0:
-        return total_bytes, _jvm_read_syscalls(spark), True
-    return total_bytes, total_ops, False
+        hadoop_ops += s.getReadOps() + s.getLargeReadOps()
+    return total_bytes, hadoop_ops, _jvm_read_syscalls(spark)
 
 
 @dataclass
@@ -216,12 +217,17 @@ def run_scan(
             print(f"runner: error scanning {path}: {msg}", file=sys.stderr)
             return 0
 
-    bytes0, ops0, _ = _fs_bytes_ops(spark)
+    bytes0, hops0, syscr0 = _fs_bytes_ops(spark)
     t0 = time.monotonic()
     with ThreadPoolExecutor(max_workers=threads) as pool:
         total_rows = sum(pool.map(scan_one, paths))  # Wait(): main.cc:245-250
     seconds = time.monotonic() - t0
-    bytes1, ops1, ops_syscr = _fs_bytes_ops(spark)
+    bytes1, hops1, syscr1 = _fs_bytes_ops(spark)
+    # pick the op-count source ONCE, after the run: Hadoop iff the scheme
+    # reported any ops by the end (local FS structurally never does), else
+    # the kernel syscall counter — both deltas are same-unit by construction
+    ops_syscr = hops1 == 0
+    ops0, ops1 = (syscr0, syscr1) if ops_syscr else (hops0, hops1)
 
     deltas = {}
     for d, before in disk_before.items():

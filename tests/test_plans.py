@@ -1292,3 +1292,63 @@ def test_ljung_box_type_partitioned_windows(q):
     df = q("ts_ljung_box")
     assert pi.broadcast_join_count(df) >= 1
     assert pi.sortmerge_join_count(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide single-reducer-window ban (round-5, per round-4 verdict)
+# ---------------------------------------------------------------------------
+
+# Queries allowed to keep an empty-partition Window over a relation the
+# detector cannot prove bounded. Each entry needs a reason; anything else
+# that plans a global window over a raw relation fails the suite.
+_GLOBAL_WINDOW_ALLOWED = {
+    # documented SQL-surface demo (NTILE/PERCENT_RANK exist in the delegated
+    # DuckDB surface); the production twin is window_ntile_histogram, which
+    # computes the identical quartile with no global sort
+    "window_ntile_percent",
+    # documented NTILE check path; the production mechanism in the same
+    # operator is the repartitionByRange write it verifies
+    "layout_zorder_cluster",
+    # stage-2 skyline sweep runs over the UNION OF PER-BUCKET LOCAL
+    # SKYLINES — a filtered, skyline-sized relation (distributive-skyline
+    # shape); bounded in fact, but not by a Limit/Aggregate node the
+    # detector can see
+    "query_skyline_pareto",
+}
+
+
+def test_no_unbounded_global_windows_repo_wide(q):
+    """No registered query may plan an empty-partition Window over an
+    unaggregated, uncut relation — the single-reducer global sort that
+    kills ranking plans at scale (round-4 verdict item #1). Rankers must
+    pre-cut with orderBy().limit(k) (TakeOrdered) or rank an aggregate."""
+    offenders: dict[str, str] = {}
+    for key in QUERIES:
+        if key in _GLOBAL_WINDOW_ALLOWED:
+            continue
+        hits = pi.unbounded_global_windows(q(key))
+        if hits:
+            offenders[key] = hits[0][:200]
+    assert not offenders, offenders
+
+
+def test_fixed_rankers_pre_cut(q):
+    """The three round-4 'weak' rankers now pre-cut before ranking: their
+    plans carry a TakeOrderedAndProject and no unbounded global window."""
+    for key in (
+        "search_rbo_overlap",
+        "search_fusion_condorcet",
+        "text_zipf_rank_profile",
+    ):
+        df = q(key)
+        assert pi.unbounded_global_windows(df) == [], key
+        assert "TakeOrderedAndProject" in pi.formatted_plan(df), key
+
+
+def test_ntile_histogram_twin_scale_safe(q):
+    """The NTILE production twin: no unbounded global window anywhere
+    (its only orderBy-without-partition window runs over the value
+    HISTOGRAM, an aggregate), and the fact-side window partitions by
+    the value key."""
+    df = q("window_ntile_histogram")
+    assert pi.unbounded_global_windows(df) == []
