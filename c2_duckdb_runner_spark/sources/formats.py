@@ -396,13 +396,18 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(os.path.join(path, "feed.csv"))
-        # LOAD-BEARING cache (SPARK-21610): queries that reference
-        # _corrupt_record through column pruning get inconsistent parse
-        # results (the extra-column row flips to "good") unless the parsed
-        # frame is materialized first. This is the documented workaround,
-        # not a perf hint; the cached footprint is the 12-line fixture.
-        .cache()
     )
+    # LOAD-BEARING cache (SPARK-21610): queries that reference
+    # _corrupt_record through column pruning get inconsistent parse
+    # results (the extra-column row flips to "good") unless the parsed
+    # frame is materialized first. This is the documented workaround,
+    # not a perf hint; the cached footprint is the 12-line fixture.
+    # Routed through scratch_persist so the sweep-wide zero-resident-cache
+    # audit holds: released at the next top-level query entry, after the
+    # caller has materialized this result.
+    from c2_duckdb_runner_spark.session import scratch_persist
+
+    df = scratch_persist(df)
     return df.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
         F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(

@@ -565,3 +565,48 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
 
     r = entrymod.queries()["stats_bootstrap_mean_ci"](spark, sf_dir).collect()[0]
     assert r["ci_lo"] <= r["mean_cents_x100"] <= r["ci_hi"], r
+
+
+def test_sweep_leaves_no_resident_cache(spark, sf_dir):
+    """Round-5 unpersist audit: scratch_persist()/release_scratch() is the
+    ONLY persistence channel, and it must leave the CacheManager empty
+    after a sweep — DataFrame caches are never GC'd (the ContextCleaner
+    only reclaims RDDs), so one leaked persist per query would accumulate
+    438 corpus-sized cache entries over a full sweep. Runs 20
+    scratch-heavy queries back-to-back (each top-level entry releases the
+    previous query's scratch), then checks zero cached plans remain."""
+    import __spark_entry__ as entrymod
+
+    from c2_duckdb_runner_spark.session import _SCRATCH, release_scratch
+
+    qs = entrymod.queries()
+    keys = [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_cluster_cc",
+        "graph_pagerank_iterations",
+        "graph_bfs_multisource",
+        "search_fusion_condorcet",
+        "scan_csv_quarantine",
+        "attribution_markov_removal",
+        "sample_coreset_kcenter",
+        "dedup_semantic_keep",
+        "join_set_similarity_prefix",
+        "er_fellegi_sunter",
+        "graph_kcore_peel",
+        "window_ntile_histogram",
+        "agg_groupby_hash",
+        "search_rbo_overlap",
+        "text_zipf_rank_profile",
+        "graph_jaccard_neighbor_sim",
+        "dedup_near_ngram_jaccard",
+        "query_skyline_pareto",
+    ]
+    for k in keys:
+        qs[k](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # a sweep's invariant: at most ONE query's scratch resident at a time —
+    # the final release is the next entry's job; emulate it
+    release_scratch()
+    assert _SCRATCH == [], "scratch list not drained"
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "CacheManager holds cached plans after the sweep"
