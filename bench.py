@@ -138,6 +138,12 @@ HEADLINE = [
     "eval_auc_rank",            # exact AUC over the score histogram
     "privacy_t_closeness",      # EMD audit over QI-group band grids
     "agg_lorenz_deciles",       # broadcast-cut Lorenz curve
+    "window_ntile_histogram",   # NTILE via histogram cut, no global sort
+    "search_fusion_borda",      # positional fusion over pre-cut top-k lists
+    "sketch_count_min_estimate",  # constant-size CMS build + probe
+    "pipeline_pack_sequences",  # concat-and-chunk packing audit
+    "eval_bradley_terry_rounds",  # arena-ranking MM fixed-point rounds
+    "graph_hits_rounds",        # bipartite hub/authority power rounds
 ]
 
 

@@ -458,14 +458,22 @@ def search_fusion_condorcet(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("h"), F.asc("doc_id")],
         "r3",
     )
+    # candidate union as ONE aggregate over the tagged union of the three
+    # bounded lists (a full-outer join cannot broadcast and would plan
+    # three sort-merge joins; the union+pivot shuffles ≤ 3k rows once)
+    u = (
+        r1.select("doc_id", F.col("r1").alias("r"), F.lit(1).alias("l"))
+        .unionAll(r2.select("doc_id", F.col("r2").alias("r"), F.lit(2).alias("l")))
+        .unionAll(r3.select("doc_id", F.col("r3").alias("r"), F.lit(3).alias("l")))
+    )
     cand = scratch_persist(
-        r1.join(r2, "doc_id", "full_outer")
-        .join(r3, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.coalesce("r1", F.lit(999)).alias("r1"),
-            F.coalesce("r2", F.lit(999)).alias("r2"),
-            F.coalesce("r3", F.lit(999)).alias("r3"),
+        u.groupBy("doc_id").agg(
+            *[
+                F.coalesce(
+                    F.min(F.when(F.col("l") == i, F.col("r"))), F.lit(999)
+                ).alias(f"r{i}")
+                for i in (1, 2, 3)
+            ]
         )
     )
     b = cand.select(

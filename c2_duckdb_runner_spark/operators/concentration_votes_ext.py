@@ -138,7 +138,8 @@ cumt AS (SELECT decile, n_customers, decile_cents,
                 CAST(SUM(decile_cents) OVER (ORDER BY decile) AS BIGINT) AS crun
          FROM per)
 SELECT CAST(decile AS INT) AS decile, n_customers, decile_cents,
-       CAST((1000000*crun) // t AS BIGINT) AS cum_share_micro
+       CAST(((1000*crun) // t) * 1000 + (((1000*crun) % t) * 1000) // t
+            AS BIGINT) AS cum_share_micro
 FROM cumt CROSS JOIN tot
 """
 
@@ -202,11 +203,19 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile_cents",
         F.sum("decile_cents").over(wd).cast("bigint").alias("crun"),
     )
+    # micro share via the exact split floor((a·10⁶)/t) = floor(a·10³/t)·10³
+    # + floor(((a·10³) mod t)·10³/t): a full 10⁶ multiply of a corpus-sized
+    # cent total overflows int64 at ~10× sf0.1 (caught by the round-5 scale
+    # run); the two-stage form is exact and safe to ~400× with the same
+    # integer semantics in both engines.
     return cumt.crossJoin(F.broadcast(tot)).select(
         F.col("decile").cast("int").alias("decile"),
         "n_customers",
         "decile_cents",
-        F.expr("CAST((1000000*crun) DIV t AS BIGINT)").alias("cum_share_micro"),
+        F.expr(
+            "CAST(((1000*crun) DIV t) * 1000"
+            " + (((1000*crun) % t) * 1000) DIV t AS BIGINT)"
+        ).alias("cum_share_micro"),
     )
 
 

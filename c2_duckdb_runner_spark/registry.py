@@ -160,6 +160,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.pretrain_objectives_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.rates_portmanteau_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.scale_rank_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.round5_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -46,6 +46,31 @@ class _RowGroupPartition(InputPartition):
         self.row_group = row_group
 
 
+def _data_files(path: str, stems: str | None) -> list[str]:
+    """Resolve the directory's ``*.parquet`` entries to concrete data
+    files. A real dataset's ``<table>.parquet`` is usually a DIRECTORY of
+    part files (any engine-written layout); the fixtures use single files
+    — both shapes must enumerate identically, file-per-row-group."""
+    import os
+
+    files: list[str] = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        if stems is not None and f[: -len(".parquet")] not in stems.split(","):
+            continue
+        full = os.path.join(path, f)
+        if os.path.isdir(full):
+            files.extend(
+                os.path.join(full, p)
+                for p in sorted(os.listdir(full))
+                if p.endswith(".parquet")
+            )
+        else:
+            files.append(full)
+    return files
+
+
 class ParquetDirDataSource(DataSource):
     """``spark.read.format("c2_pydir")`` over a directory of parquet files.
 
@@ -64,22 +89,13 @@ class ParquetDirDataSource(DataSource):
         return "c2_pydir"
 
     def schema(self) -> str:
-        import os
-
         import pyarrow.parquet as pq
 
         cols = self.options["columns"].split(",")
-        path = self.options["path"]
-        stems = self.options.get("tables")
-        names = sorted(
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-            and (stems is None or f[: -len(".parquet")] in stems.split(","))
-        )
+        files = _data_files(self.options["path"], self.options.get("tables"))
         # Arrow schema of the first file, pruned to the projection, mapped to
         # Spark DDL via a tiny fixed type table (fixtures use these 4 types).
-        sch = pq.read_schema(os.path.join(path, names[0]))
+        sch = pq.read_schema(files[0])
         ddl = {"int64": "bigint", "int32": "int", "double": "double",
                "string": "string", "large_string": "string"}
         parts = []
@@ -97,19 +113,12 @@ class ParquetDirReader(DataSourceReader):
         self.options = options
 
     def partitions(self):
-        import os
-
         import pyarrow.parquet as pq
 
-        path = self.options["path"]
-        stems = self.options.get("tables")
         out = []
-        for f in sorted(os.listdir(path)):
-            if not f.endswith(".parquet"):
-                continue
-            if stems is not None and f[: -len(".parquet")] not in stems.split(","):
-                continue
-            full = os.path.join(path, f)
+        for full in _data_files(
+            self.options["path"], self.options.get("tables")
+        ):
             for rg in range(pq.ParquetFile(full).metadata.num_row_groups):
                 out.append(_RowGroupPartition(full, rg))
         return out

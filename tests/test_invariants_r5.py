@@ -287,3 +287,63 @@ def test_sessionize_sequences_contiguous(run):
         by_user.setdefault(r.user_id, []).append(r.session_seq)
     for seqs in by_user.values():
         assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
+def test_cms_one_sided_error(run):
+    rows = run("sketch_count_min_estimate")
+    assert rows
+    # the count-min law: a point estimate NEVER undercounts
+    assert all(r.over_ok == 1 and r.cms_estimate >= r.exact_count for r in rows)
+
+
+def test_borda_bounds_and_membership(run):
+    from c2_duckdb_runner_spark.operators.round5_ext import _BORDA_DEPTH
+
+    rows = run("search_fusion_borda")
+    assert rows
+    for r in rows:
+        assert 1 <= r.borda <= 3 * _BORDA_DEPTH  # ≤ k points per list
+        # score must equal the positional identity from the listed ranks
+        want = sum(
+            _BORDA_DEPTH + 1 - rk
+            for rk in (r.r1, r.r2, r.r3)
+            if rk <= _BORDA_DEPTH
+        )
+        assert r.borda == want
+
+
+def test_pack_sequences_accounting(run):
+    from c2_duckdb_runner_spark.operators.round5_ext import _PACK_CTX
+
+    rows = run("pipeline_pack_sequences")
+    assert rows
+    for r in rows:
+        # chunk accounting: chunks·ctx = tokens + tail waste, exactly
+        assert r.n_chunks * _PACK_CTX == r.total_tokens + r.tail_waste
+        assert 0 <= r.tail_waste < _PACK_CTX
+        # a doc can straddle at most every boundary: straddlers < chunks
+        assert 0 <= r.n_straddlers < r.n_chunks
+
+
+def test_bradley_terry_conservation(run):
+    rows = run("eval_bradley_terry_rounds")
+    assert rows
+    total_wins = sum(r.n_wins for r in rows)
+    total_matches = sum(r.n_matches for r in rows)
+    # every match has exactly one winner and two participants
+    assert total_matches == 2 * total_wins
+    for r in rows:
+        assert 0 <= r.n_wins <= r.n_matches
+        assert 0 <= r.bt_micro_r1 <= 2_000_000  # 2·win-rate ∈ [0, 2]
+        assert r.bt_micro_r2 >= 0
+
+
+def test_hits_normalization_and_top(run):
+    rows = run("graph_hits_rounds")
+    assert rows
+    scores = [r.auth_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 <= s <= 1_000_000 for s in scores)  # L∞-normalized
+    # ordering is by score desc, so row 0 IS the global max = exactly 10⁶
+    assert scores[0] == 1_000_000
+    assert all(r.indeg >= 1 for r in rows)

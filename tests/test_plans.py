@@ -1352,3 +1352,41 @@ def test_ntile_histogram_twin_scale_safe(q):
     the value key."""
     df = q("window_ntile_histogram")
     assert pi.unbounded_global_windows(df) == []
+
+
+def test_borda_fusion_pre_cut(q):
+    """Borda joins three TakeOrdered lists; no unbounded global window,
+    no sort-merge join (three 20-row lists broadcast)."""
+    df = q("search_fusion_borda")
+    assert pi.unbounded_global_windows(df) == []
+    assert "TakeOrderedAndProject" in pi.formatted_plan(df)
+
+
+def test_cms_sketch_single_scan_constant_output(q):
+    """The CMS build is one aggregate over the exploded (row, bucket)
+    stream; probing broadcasts the constant-size counter table."""
+    df = q("sketch_count_min_estimate")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_pack_sequences_partitioned_window(q):
+    """Packing windows partition by source shard — never a global sort."""
+    df = q("pipeline_pack_sequences")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.scan_count(df) == 1
+
+
+def test_bradley_terry_windows_partitioned(q):
+    """Match extraction partitions by user; the pair matrix is
+    label-domain-sized."""
+    df = q("eval_bradley_terry_rounds")
+    assert pi.unbounded_global_windows(df) == []
+
+
+def test_hits_rounds_keyed_joins_only(q):
+    """Each HITS half-round is one keyed join + aggregate; normalizers are
+    1-row broadcasts; no sort-merge join, no unbounded global window."""
+    df = q("graph_hits_rounds")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.sortmerge_join_count(df) == 0
