@@ -144,6 +144,9 @@ HEADLINE = [
     "pipeline_pack_sequences",  # concat-and-chunk packing audit
     "eval_bradley_terry_rounds",  # arena-ranking MM fixed-point rounds
     "graph_hits_rounds",        # bipartite hub/authority power rounds
+    "graph_ppr_seed_teleport",  # seed-teleport personalized PageRank
+    "stats_conditional_entropy",  # H(next|cur) ordered ln fold
+    "pipeline_moe_balance_round",  # MoE load audit + aux-free bias step
 ]
 
 

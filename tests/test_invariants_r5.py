@@ -347,3 +347,41 @@ def test_hits_normalization_and_top(run):
     # ordering is by score desc, so row 0 IS the global max = exactly 10⁶
     assert scores[0] == 1_000_000
     assert all(r.indeg >= 1 for r in rows)
+
+
+def test_ppr_ranks_ordered_and_nonneg(run):
+    rows = run("graph_ppr_seed_teleport")
+    assert rows
+    rs = [r.rank_micros for r in rows]
+    assert rs == sorted(rs, reverse=True)
+    assert all(r.rank_micros >= 0 for r in rows)
+    assert all(r.is_seed in (0, 1) for r in rows)
+    assert rs[0] > 0  # mass reaches the graph from the seed set
+
+
+def test_conditional_entropy_chain_rule(run):
+    import math
+
+    [r] = run("stats_conditional_entropy")
+    # conditioning never increases entropy: 0 ≤ H(Y|X) ≤ H(Y) ≤ ln|Y|
+    assert 0.0 <= r.h_cond_r6 <= r.h_marginal_r6 + 1e-6
+    assert r.h_marginal_r6 <= math.log(r.n_cells) + 1e-6
+    assert r.n_trans > 0
+
+
+def test_moe_balance_identities(run):
+    rows = run("pipeline_moe_balance_round")
+    assert len(rows) == 16  # full expert spine, dead experts included
+    caps = {r.capacity for r in rows}
+    assert len(caps) == 1
+    cap = caps.pop()
+    total = sum(r.load for r in rows)
+    assert total > 0 and cap >= (total + 15) // 16 - 1
+    for r in rows:
+        assert r.overflow == max(r.load - cap, 0)
+        if r.load > cap:
+            assert r.bias_update_milli < 0  # overloaded expert biased down
+        elif r.load < cap:
+            assert r.bias_update_milli > 0
+        else:
+            assert r.bias_update_milli == 0

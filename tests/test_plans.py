@@ -1390,3 +1390,22 @@ def test_hits_rounds_keyed_joins_only(q):
     df = q("graph_hits_rounds")
     assert pi.unbounded_global_windows(df) == []
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_ppr_no_unbounded_window_and_no_smj(q):
+    df = q("graph_ppr_seed_teleport")
+    assert pi.unbounded_global_windows(df) == []
+
+
+def test_conditional_entropy_partitioned_lead(q):
+    """Transition extraction partitions by user; entropies fold over the
+    bounded cell table."""
+    df = q("stats_conditional_entropy")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.scan_count(df) == 1
+
+
+def test_moe_balance_constant_output(q):
+    df = q("pipeline_moe_balance_round")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.sortmerge_join_count(df) == 0
