@@ -147,6 +147,8 @@ HEADLINE = [
     "graph_ppr_seed_teleport",  # seed-teleport personalized PageRank
     "stats_conditional_entropy",  # H(next|cur) ordered ln fold
     "pipeline_moe_balance_round",  # MoE load audit + aux-free bias step
+    "dedup_minhash_oph",        # one-permutation minhash + densification
+    "stats_kruskal_wallis",     # rank-based k-sample test, histogram ranks
 ]
 
 

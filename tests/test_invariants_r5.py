@@ -385,3 +385,24 @@ def test_moe_balance_identities(run):
             assert r.bias_update_milli > 0
         else:
             assert r.bias_update_milli == 0
+
+
+def test_oph_calibration_and_bounds(run):
+    from c2_duckdb_runner_spark.operators.round5c_ext import _OPH_K
+
+    rows = run("dedup_minhash_oph")
+    assert rows, "sample contains ground-truth near-dup pairs"
+    for r in rows:
+        assert 0 <= r.slots_match <= _OPH_K
+        assert r.calib_ok == 1  # |slots/k − jaccard| within declared bound
+        assert r.jac >= 0.8
+
+
+def test_kruskal_wallis_identities(run):
+    [r] = run("stats_kruskal_wallis")
+    assert r.n_total > 0 and r.k_groups >= 2
+    assert r.tie_correction >= 0
+    assert r.h_uncorrected_micro >= 0
+    # tie correction divides by ≤ 1: corrected H never shrinks
+    assert r.h_micro_corr >= r.h_uncorrected_micro
+    assert r.signif in (0, 1)

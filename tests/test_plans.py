@@ -1409,3 +1409,19 @@ def test_moe_balance_constant_output(q):
     df = q("pipeline_moe_balance_round")
     assert pi.unbounded_global_windows(df) == []
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_oph_no_pair_enumeration_in_sketch(q):
+    """The OPH signature path never crosses pairs (the exact-Jaccard side
+    is the audit's ground truth, shingle-blocked); no unbounded window."""
+    df = q("dedup_minhash_oph")
+    assert pi.unbounded_global_windows(df) == []
+    assert "CartesianProduct" not in pi.formatted_plan(df)
+
+
+def test_kruskal_wallis_histogram_ranks(q):
+    """Ranks come from the distinct-value histogram (window over an
+    aggregate), never a row-level global sort."""
+    df = q("stats_kruskal_wallis")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.scan_count(df) == 1
