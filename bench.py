@@ -149,6 +149,8 @@ HEADLINE = [
     "pipeline_moe_balance_round",  # MoE load audit + aux-free bias step
     "dedup_minhash_oph",        # one-permutation minhash + densification
     "stats_kruskal_wallis",     # rank-based k-sample test, histogram ranks
+    "eval_average_precision",   # MAP per-query term, salted two-stage top-k
+    "simsearch_pq_adc",         # PQ asymmetric-distance LUT scoring
 ]
 
 

@@ -406,3 +406,26 @@ def test_kruskal_wallis_identities(run):
     # tie correction divides by ≤ 1: corrected H never shrinks
     assert r.h_micro_corr >= r.h_uncorrected_micro
     assert r.signif in (0, 1)
+
+
+def test_average_precision_bounds_and_mrr_consistency(run):
+    rows = run("eval_average_precision")
+    assert rows
+    ap_by_q = {}
+    for r in rows:
+        assert 0 <= r.ap_micro <= 1_000_000  # AP is a mean of precisions
+        if r.n_rel_at_k == 0:
+            assert r.ap_micro == 0
+        ap_by_q[r.q_id] = r.n_rel_at_k
+    # same harness as MRR: a query has a first hit iff it has any hit
+    mrr = {r.q_id: r.first_rel_rank for r in run("search_mrr_eval")}
+    for q, nrel in ap_by_q.items():
+        assert (nrel > 0) == (mrr[q] > 0), (q, nrel, mrr[q])
+
+
+def test_pq_adc_sorted_nonnegative(run):
+    rows = run("simsearch_pq_adc")
+    assert rows
+    ds = [r.adc_dist2_r6 for r in rows]
+    assert ds == sorted(ds)  # nearest-first
+    assert all(d >= 0 for d in ds)  # sums of squared distances

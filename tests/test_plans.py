@@ -1425,3 +1425,20 @@ def test_kruskal_wallis_histogram_ranks(q):
     df = q("stats_kruskal_wallis")
     assert pi.unbounded_global_windows(df) == []
     assert pi.scan_count(df) == 1
+
+
+def test_average_precision_no_global_window(q):
+    """Per-query ranking is the salted two-stage top-k; probes broadcast."""
+    df = q("eval_average_precision")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_pq_adc_lut_broadcast_takeordered(q):
+    """The 32-entry LUT broadcasts; candidate scoring never sorts
+    globally except the final TakeOrdered."""
+    df = q("simsearch_pq_adc")
+    assert pi.unbounded_global_windows(df) == []
+    plan = pi.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert pi.broadcast_join_count(df) >= 1
