@@ -151,6 +151,8 @@ HEADLINE = [
     "stats_kruskal_wallis",     # rank-based k-sample test, histogram ranks
     "eval_average_precision",   # MAP per-query term, salted two-stage top-k
     "simsearch_pq_adc",         # PQ asymmetric-distance LUT scoring
+    "text_type_token_ratio",    # TTR + hapax fraction per shard
+    "eval_recall_at_k",         # recall axis of the retrieval ladder
 ]
 
 

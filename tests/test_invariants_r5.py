@@ -429,3 +429,26 @@ def test_pq_adc_sorted_nonnegative(run):
     ds = [r.adc_dist2_r6 for r in rows]
     assert ds == sorted(ds)  # nearest-first
     assert all(d >= 0 for d in ds)  # sums of squared distances
+
+
+def test_ttr_bounds_and_hapax_subset(run):
+    rows = run("text_type_token_ratio")
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 <= r.n_hapax <= r.n_types  # hapaxes are a subset of types
+        assert 0 < r.ttr_micro <= 1_000_000
+        assert 0 <= r.hapax_frac_micro <= 1_000_000
+
+
+def test_recall_at_k_bounds_and_ap_consistency(run):
+    from c2_duckdb_runner_spark.operators.round5e_ext import _RK_DEPTH
+
+    rows = run("eval_recall_at_k")
+    assert rows
+    ap = {r.q_id: r.n_rel_at_k for r in run("eval_average_precision")}
+    for r in rows:
+        assert 0 <= r.n_rel_at_k <= min(_RK_DEPTH, r.n_corpus_rel)
+        assert 0 <= r.recall_micro <= 1_000_000
+        # identical harness: retrieved-relevant counts must agree with AP's
+        assert r.n_rel_at_k == ap[r.q_id]

@@ -1442,3 +1442,15 @@ def test_pq_adc_lut_broadcast_takeordered(q):
     plan = pi.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert pi.broadcast_join_count(df) >= 1
+
+
+def test_ttr_two_level_reduction(q):
+    df = q("text_type_token_ratio")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.scan_count(df) == 1
+
+
+def test_recall_at_k_no_global_window(q):
+    df = q("eval_recall_at_k")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
