@@ -155,6 +155,41 @@ HEADLINE = [
     "eval_recall_at_k",         # recall axis of the retrieval ladder
 ]
 
+# Frozen cross-round comparison core (round-6, per round-5 verdict item 2):
+# the 50 keys visible in BOTH the r4 and r5 driver-captured compact lines.
+# The headline set grows every round, which makes the TOTAL incomparable
+# across rounds; `core_total` over this frozen set is the stable series
+# (r4: 90.0 s, r5: 80.5 s on this host at sf0.1). Never add to or remove
+# from this list — new operators join HEADLINE only.
+CORE = frozenset(
+    [
+        "agg_approx_distinct", "agg_basket_affinity_lift",
+        "agg_filter_clause", "agg_groupby_hash", "agg_lorenz_deciles",
+        "agg_markov_stationary_power", "agg_percentiles",
+        "attribution_markov_removal", "audit_fk_orphans",
+        "composite_local_supplier_volume", "dedup_cdc_chunking",
+        "dedup_cluster_cc", "dedup_duplicate_spans",
+        "dedup_incremental_batch", "dedup_minhash_lsh",
+        "dedup_paragraph_chunks", "dedup_semantic_keep",
+        "embed_pca_power_iter", "er_blocking_quality_report", "fn_json",
+        "graph_bfs_multisource", "graph_jaccard_neighbor_sim",
+        "graph_kcore_peel", "graph_label_propagation_sync",
+        "graph_node2vec_biased_walk", "graph_pagerank_iterations",
+        "graph_wl_refinement", "join_bitemporal_asof_aswas",
+        "join_bloom_pruned_shuffle", "join_inner_hash",
+        "join_set_similarity_prefix", "join_spatial_grid_neighbors",
+        "layout_zorder_cluster", "mm_image_phash_dedup_stub",
+        "sample_coreset_kcenter", "sample_domain_cap",
+        "sample_dsir_hashed_importance", "simsearch_pq_assign",
+        "simsearch_rerank_mmr", "sketch_bloom_membership",
+        "stats_bootstrap_mean_ci", "stats_permutation_test",
+        "stream_chained_window_agg", "stream_tumbling",
+        "text_ngram_novelty", "text_pii_redact", "text_tfidf_topterms",
+        "tokenizer_bpe_train_rounds", "topk_per_group",
+        "udf_cogrouped_pandas",
+    ]
+)
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     tail = os.path.basename(os.path.normpath(sf_dir))
@@ -194,6 +229,12 @@ def _stage_metrics_by_group(eventlog_dir: str) -> dict[str, dict[str, int]]:
     # capture window (BENCH_r01 was lost to an oversized line):
     # sw=shuffle bytes written, sr=shuffle bytes read, tt=executor task
     # time ms, in=input bytes read.
+    # ph=peak JVM heap bytes, pe=peak on-heap execution memory bytes —
+    # MAX over the group's stages/executors (SparkListenerStageExecutorMetrics
+    # events, emitted when spark.eventLog.logStageExecutorMetrics=true).
+    # Shuffle linearity was proven by the 10x artifact; memory cliffs are
+    # the remaining scale unknown (round-5 verdict item 6), and a peak that
+    # grows super-linearly at 10x flags a query that will OOM at 100 TB.
     wanted = {
         "internal.metrics.shuffle.write.bytesWritten": "sw",
         "internal.metrics.shuffle.read.localBytesRead": "sr",
@@ -201,6 +242,7 @@ def _stage_metrics_by_group(eventlog_dir: str) -> dict[str, dict[str, int]]:
         "internal.metrics.executorRunTime": "tt",
         "internal.metrics.input.bytesRead": "in",
     }
+    peak_keys = {"JVMHeapMemory": "ph", "OnHeapExecutionMemory": "pe"}
     # Single-file logs sit flat in the dir; the v2 rolling format nests
     # events_* files under an eventlog_v2_<appid>/ subdirectory (next to a
     # binary appstatus_* snapshot, which the JSON-decode guard skips).
@@ -232,6 +274,16 @@ def _stage_metrics_by_group(eventlog_dir: str) -> dict[str, dict[str, int]]:
                         name = wanted.get(a.get("Name", ""))
                         if name is not None and isinstance(a.get("Value"), int):
                             acc[name] = acc.get(name, 0) + a["Value"]
+                elif kind == "SparkListenerStageExecutorMetrics":
+                    group = stage_group.get(ev.get("Stage ID"))
+                    if group is None:
+                        continue
+                    acc = metrics.setdefault(group, {})
+                    em = ev.get("Executor Metrics", {})
+                    for mk, short in peak_keys.items():
+                        v = em.get(mk)
+                        if isinstance(v, int):
+                            acc[short] = max(acc.get(short, 0), v)
     return metrics
 
 
@@ -308,10 +360,15 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # cross-round-comparable total over the frozen CORE set (the full
+    # total drifts upward as new operators join HEADLINE every round)
+    core_total = round(sum(v for k, v in timings.items() if k in CORE), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "core_total": core_total,
+        "core_n": sum(1 for k in timings if k in CORE),
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "cpus": int(cpus),
@@ -346,6 +403,8 @@ def main() -> None:
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
+            "core_total": core_total,
+            "core_n": out["core_n"],
             "queries": {k: round(v, 2) for k, v in qdict.items()},
             "sf": _sf_from_dir(sf_dir),
             "cpus": int(cpus),
@@ -395,6 +454,12 @@ def main() -> None:
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": f"file://{_EVENTLOG_DIR}",
                 "spark.eventLog.compress": "false",
+                # per-stage executor-memory peaks (ph/pe in stage_metrics);
+                # default polling is heartbeat-only (10 s), which records 0
+                # for every sub-10 s stage — poll every 100 ms instead
+                # (untimed pass, so the polling tax is free)
+                "spark.eventLog.logStageExecutorMetrics": "true",
+                "spark.executor.metrics.pollingInterval": "100ms",
             },
         )
         mspark.sparkContext.setLogLevel("ERROR")

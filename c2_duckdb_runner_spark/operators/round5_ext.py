@@ -7,7 +7,7 @@
   (TakeOrderedAndProject), never a global window over the corpus.
 - COUNT-MIN SKETCH: the classic heavy-hitter frequency sketch (Cormode &
   Muthukrishnan 2005) built entirely from DataFrame aggregates — d=4
-  deterministic md5-derived hash rows × w=64 counters — so the DuckDB
+  deterministic md5-derived hash rows × w=1024 counters — so the DuckDB
   oracle replays it bit-for-bit and the differential proves the estimate
   algebra, while the invariant est ≥ exact pins the one-sided error law.
 - SEQUENCE PACKING: the concat-and-chunk pretraining batcher (every

@@ -91,7 +91,16 @@ def graph_ppr_seed_teleport(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = scratch_persist(_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_deg = scratch_persist(edges.join(deg, "src").repartition(32, "src"))
-    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # Node set is src ∪ dst, mirroring the oracle: a zero-in-degree seed
+    # must keep its teleport mass every round (round-5 ADVICE — with the
+    # old src-only set this matched only because _edges is symmetrized;
+    # on a directed edge list it would silently diverge).
+    nodes = scratch_persist(
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(32, "id")
+    )
     seed_case = (
         f"CASE WHEN id % {_PPR_SEED_MOD} = 0 AND id < {_OFFSET}"
         " THEN 1 ELSE 0 END"
@@ -104,17 +113,22 @@ def graph_ppr_seed_teleport(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r"),
     )
     for _ in range(_PPR_ITERS):
-        ranks = (
+        contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.id)
             .select("dst", F.expr("r div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
+        )
+        # left-join the contributions back onto the FULL node set so
+        # nodes with no in-edges retain their teleport-only rank
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
             .select(
-                F.col("dst").alias("id"),
+                nodes.id,
                 F.expr(
-                    f"CAST(CASE WHEN dst % {_PPR_SEED_MOD} = 0"
-                    f" AND dst < {_OFFSET} THEN 150000 ELSE 0 END"
-                    " + (850 * s) div 1000 AS BIGINT)"
+                    f"CAST(CASE WHEN id % {_PPR_SEED_MOD} = 0"
+                    f" AND id < {_OFFSET} THEN 150000 ELSE 0 END"
+                    " + (850 * COALESCE(s, 0L)) div 1000 AS BIGINT)"
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)

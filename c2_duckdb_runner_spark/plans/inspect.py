@@ -147,12 +147,69 @@ def _walk_jplan(node):
         yield from _walk_jplan(children.apply(i))
 
 
+#: Physical-plan spellings of the bounding operators, for descending into
+#: cached (InMemoryRelation) subtrees where the logical Aggregate/Limit has
+#: already been planned.
+_BOUNDING_PHYS = frozenset(
+    {
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "GlobalLimit",
+        "LocalLimit",
+        "TakeOrderedAndProject",
+        "CollectLimit",
+        "Sample",
+    }
+)
+
+
+def _bounded_phys(node) -> bool:
+    """Boundedness over a PHYSICAL plan — used for the cached plan inside
+    an InMemoryRelation. Same all-branches rule as the logical walk;
+    AdaptiveSparkPlan is a leaf wrapper, so recurse into its initial plan."""
+    name = node.nodeName()
+    if name in _BOUNDING_PHYS:
+        return True
+    if name == "AdaptiveSparkPlan":
+        return _bounded_phys(node.initialPlan())
+    if name.startswith("InMemoryTableScan"):
+        return _bounded_phys(node.relation().cachedPlan())
+    children = node.children()
+    k = children.size()
+    if k == 0:
+        return False
+    return all(_bounded_phys(children.apply(i)) for i in range(k))
+
+
+def _bounded(node) -> bool:
+    """True iff every row path into ``node`` passes through a bounding
+    operator. A Limit/Aggregate/Sample/Deduplicate bounds its whole
+    subtree. At multi-child nodes (Join, Union) EVERY branch must be
+    bounded — a bounded aggregate on ONE side of a join does not bound
+    the join's output, so descending into the far branch and finding an
+    Aggregate there must not clear the window (the round-5 ADVICE false
+    negative: a raw fact stream joined to a tiny aggregate passed).
+    Persisted subtrees (InMemoryRelation leaves) are analyzed through
+    their cached physical plan instead of being treated as opaque."""
+    if node.nodeName() in _BOUNDING_NODES:
+        return True
+    if node.nodeName() == "InMemoryRelation":
+        return _bounded_phys(node.cachedPlan())
+    children = node.children()
+    k = children.size()
+    if k == 0:
+        return False
+    return all(_bounded(children.apply(i)) for i in range(k))
+
+
 def unbounded_global_windows(df: DataFrame) -> list[str]:
-    """Window nodes with an EMPTY partition spec whose subtree contains no
-    Limit/Aggregate — i.e. a single-reducer global sort of a raw, unbounded
-    relation. This is THE shape that kills a ranking plan at 100 TB (every
-    row funnels through one WindowExec partition); returns the offending
-    nodes' simpleStrings so tests can forbid it repo-wide.
+    """Window nodes with an EMPTY partition spec whose input is not provably
+    bounded by a Limit/Aggregate on EVERY branch — i.e. a single-reducer
+    global sort of a raw, unbounded relation. This is THE shape that kills
+    a ranking plan at 100 TB (every row funnels through one WindowExec
+    partition); returns the offending nodes' simpleStrings so tests can
+    forbid it repo-wide.
     """
     plan = df._jdf.queryExecution().optimizedPlan()
     bad: list[str] = []
@@ -161,11 +218,6 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             continue
         if node.partitionSpec().size() > 0:
             continue
-        bounded = any(
-            child.nodeName() in _BOUNDING_NODES
-            for i in [node.children().apply(0)]
-            for child in _walk_jplan(i)
-        )
-        if not bounded:
+        if not _bounded(node.children().apply(0)):
             bad.append(node.simpleString(25))
     return bad

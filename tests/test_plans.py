@@ -1306,15 +1306,62 @@ _GLOBAL_WINDOW_ALLOWED = {
     # DuckDB surface); the production twin is window_ntile_histogram, which
     # computes the identical quartile with no global sort
     "window_ntile_percent",
-    # documented NTILE check path; the production mechanism in the same
-    # operator is the repartitionByRange write it verifies
-    "layout_zorder_cluster",
     # stage-2 skyline sweep runs over the UNION OF PER-BUCKET LOCAL
     # SKYLINES — a filtered, skyline-sized relation (distributive-skyline
     # shape); bounded in fact, but not by a Limit/Aggregate node the
     # detector can see
     "query_skyline_pareto",
 }
+
+
+def test_detector_flags_aggregate_on_far_join_branch(spark):
+    """Round-5 ADVICE negative case: a global window over a RAW fact
+    stream joined to a tiny aggregate must be flagged — the bounding
+    node on the far join branch must not clear the window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    tiny = li.groupBy().agg(F.avg("l_quantity").alias("avg_q"))
+    joined = li.crossJoin(F.broadcast(tiny))
+    bad = joined.withColumn(
+        "rk", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    assert pi.unbounded_global_windows(bad), (
+        "raw-fact global window must be flagged even with an aggregate "
+        "on the other join branch"
+    )
+    # and the converse: BOTH branches bounded -> not flagged
+    tiny2 = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    ok = tiny2.crossJoin(F.broadcast(tiny)).withColumn(
+        "rk", F.row_number().over(Window.orderBy("n"))
+    )
+    assert pi.unbounded_global_windows(ok) == []
+
+
+def test_detector_sees_through_persisted_aggregate(spark):
+    """A persisted (InMemoryRelation) aggregate still bounds the window:
+    the detector descends into the cached physical plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n")).persist()
+    try:
+        ranked = agg.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n")))
+        )
+        assert pi.unbounded_global_windows(ranked) == []
+        raw = li.persist()
+        try:
+            bad = raw.withColumn(
+                "rk", F.row_number().over(Window.orderBy("l_extendedprice"))
+            )
+            assert pi.unbounded_global_windows(bad)
+        finally:
+            raw.unpersist()
+    finally:
+        agg.unpersist()
 
 
 def test_no_unbounded_global_windows_repo_wide(q):

@@ -36,12 +36,15 @@ def run_pass(sf_dir: str, out: str) -> None:
 
 
 def main() -> None:
-    target = sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1_r05.json"
+    # flags are not artifact names: `scale_artifact.py --run` must not
+    # write a file literally called "--run"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    target = args[0] if args else "BENCH_sf1_r05.json"
     if "--run" in sys.argv:
         run_pass("/root/testdata/sf0.1", SMALL)
         run_pass("/tmp/scale/sf1", BIG)
-    small = json.load(open(SMALL if os.path.isabs(SMALL) else os.path.join(REPO, SMALL)))
-    big = json.load(open(BIG if os.path.isabs(BIG) else os.path.join(REPO, BIG)))
+    small = json.load(open(SMALL))
+    big = json.load(open(BIG))
     queries = {}
     worst = []
     for k, t0 in small["queries"].items():
