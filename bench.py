@@ -153,6 +153,16 @@ HEADLINE = [
     "simsearch_pq_adc",         # PQ asymmetric-distance LUT scoring
     "text_type_token_ratio",    # TTR + hapax fraction per shard
     "eval_recall_at_k",         # recall axis of the retrieval ladder
+    "sketch_ams_f2_moment",     # one-pass F2 tug-of-war sketch
+    "text_heaps_law",           # first-seen vocabulary growth audit
+    "eval_rank_biased_precision",  # geometric-weight retrieval metric
+    "corpus_source_vocab_overlap",  # pairwise source-vocabulary Jaccard
+    "pipeline_length_bucket_batching",  # padding-waste batching report
+    "mlsplit_kfold_stratified",  # md5 k-fold + stratum balance audit
+    "stats_mad_robust_z",       # exact distributed median/MAD outliers
+    "ts_page_hinkley",          # sequential drift detector, daily series
+    "text_boilerplate_ngrams",  # cross-doc 5-gram boilerplate report
+    "stats_trimmed_mean",       # histogram-rank decile-trimmed mean
 ]
 
 # Frozen cross-round comparison core (round-6, per round-5 verdict item 2):

@@ -49,7 +49,7 @@ base AS (
 ),
 ranked AS (
   SELECT k, ln, q, total_cents, floor_cents,
-         ROW_NUMBER() OVER (PARTITION BY k ORDER BY rem DESC, ln ASC)
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY rem DESC, ln ASC, q ASC)
            AS rr,
          total_cents - SUM(floor_cents) OVER (PARTITION BY k) AS leftover
   FROM base
@@ -66,7 +66,8 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     total across its line items by quantity such that the integer cent
     allocations sum EXACTLY to the order total: floor shares first, then
     the leftover cents go to the largest fractional remainders
-    (tie-broken by line number). Naive per-line rounding drifts by up to
+    (tie-broken by line number, then quantity — a TOTAL order even on
+    duplicate line numbers). Naive per-line rounding drifts by up to
     n/2 cents per order — the drift revenue-recognition audits exist to
     catch; this is the algorithm that makes reconciliation exact by
     construction.
@@ -107,8 +108,17 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ln",
         "q",
         "floor_cents",
+        # (rem, ln) alone is NOT a total order: the fixture's lineitem
+        # carries duplicate line numbers, and the round-6 10x sweep caught
+        # two equal-remainder twin lines whose ±1 cent landed on a
+        # partition-order-dependent row — q completes the ordering (full
+        # ties are then identical rows, interchangeable in the multiset)
         F.row_number()
-        .over(Window.partitionBy("k").orderBy(F.desc("rem"), F.asc("ln")))
+        .over(
+            Window.partitionBy("k").orderBy(
+                F.desc("rem"), F.asc("ln"), F.asc("q")
+            )
+        )
         .alias("rr"),
         (F.col("total_cents") - F.sum("floor_cents").over(wk)).alias("leftover"),
     )

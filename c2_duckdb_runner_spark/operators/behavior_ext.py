@@ -188,9 +188,12 @@ s AS (
   FROM pairs
 )
 SELECT n, sx, sxy,
-       ROUND((n * sxy - sx * sy) /
-             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
          AS assortativity
 FROM s
 """,
@@ -205,12 +208,15 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: degrees are integers, so ALL five sufficient statistics
     are exact int64 sums (no decimal routing needed — cheaper than the
-    general corr path); only the final r is floating, computed in one
-    fixed expression tree and rounded to 6 dp. Shape: one degree reduce,
-    two keyed joins decorating each directed edge with endpoint degrees
-    (the symmetrized edge list counts each undirected edge in both
-    directions — the standard convention), one global sufficient-stats
-    reduce."""
+    general corr path); only the final r is floating. The Pearson
+    combination (n·sxx − sx², …) itself runs in DOUBLE with an identical
+    operation order on both engines: the INTEGER form overflowed int64
+    at the 10x replica (n·sxx ≈ 1.5·10¹⁹ — caught by the round-6
+    CORRECTNESS_sf1 sweep; DuckDB's checked arithmetic trapped where
+    Spark wrapped silently). Shape: one degree reduce, two keyed joins
+    decorating each directed edge with endpoint degrees (the symmetrized
+    edge list counts each undirected edge in both directions — the
+    standard convention), one global sufficient-stats reduce."""
     from c2_duckdb_runner_spark.operators.graph import _edges
 
     edges = _edges(spark, sf_dir)
@@ -230,9 +236,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    r = (n * F.col("sxy") - sx * sy) / (
-        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
-        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    r = F.expr(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /"
+        " (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
     )
     return s.select("n", "sx", "sxy", F.round(r, 6).alias("assortativity"))

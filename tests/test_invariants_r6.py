@@ -438,3 +438,220 @@ def test_repetition_ratio_bounds(run):
         assert r.top_bigram_ppm == r.top_bigram_n * 1_000_000 // r.n_bigrams
         assert 0 <= r.dup_trigram_ppm <= 1_000_000
         assert r.n_trigrams >= 1
+
+
+# === round-6 new-operator invariants ==========================================
+
+
+def test_ams_f2_estimator_structure(run, spark, sf_dir):
+    """Each AMS estimate is a square (>= 0), the reported error is exactly
+    the integer ppm identity, and the exact F2 equals a driver-side
+    recompute from the key counts."""
+    from collections import Counter
+
+    (r,) = run("sketch_ams_f2_moment")
+    keys = [
+        x.l_partkey
+        for x in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey")
+        .collect()
+    ]
+    c = Counter(keys)
+    assert r.n_rows == len(keys)
+    assert r.f2_exact == sum(v * v for v in c.values())
+    assert r.f2_est_median >= 0
+    assert r.err_ppm == abs(r.f2_est_median - r.f2_exact) * 1_000_000 // r.f2_exact
+
+
+def test_heaps_law_monotone_growth(run):
+    """Prefixes nest, so docs/tokens/vocab must be non-decreasing in the
+    checkpoint, and vocabulary can never exceed prefix token count."""
+    rows = sorted(run("text_heaps_law"), key=lambda r: r.checkpoint)
+    assert [r.checkpoint for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs
+        assert a.n_tokens <= b.n_tokens
+        assert a.vocab <= b.vocab
+        assert a.cutoff <= b.cutoff
+    for r in rows:
+        assert 0 <= r.vocab <= r.n_tokens
+
+
+def test_rbp_bounds_and_zero_case(run):
+    """RBP in [0, 1]; zero relevant -> zero score; the numerator is
+    bounded by the all-relevant weight sum."""
+    wsum = sum(4 ** (i - 1) * 5 ** (10 - i) for i in range(1, 11))
+    for r in run("eval_rank_biased_precision"):
+        assert 0 <= r.rbp_ppm <= 1_000_000
+        assert 0 <= r.rbp_num <= wsum
+        assert r.rbp_ppm == r.rbp_num * 1_000_000 // 5**10
+        if r.n_rel_at_k == 0:
+            assert r.rbp_num == 0
+
+
+def test_vocab_overlap_jaccard_structure(run, spark, sf_dir):
+    n_src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    rows = run("corpus_source_vocab_overlap")
+    assert len(rows) <= n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 1 <= r.inter <= r.uni
+        assert r.jacc_ppm == r.inter * 1_000_000 // r.uni
+        assert 0 < r.jacc_ppm <= 1_000_000
+
+
+def test_length_bucket_batching_conservation(run, spark, sf_dir):
+    """Every doc lands in exactly one bucket; batch count is the ceil
+    identity; padding is a strict sub-unit fraction."""
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = run("pipeline_length_bucket_batching")
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert r.n_batches == (r.n_docs + 31) // 32
+        assert 0 <= r.pad_tokens < r.n_docs * r.cap
+        assert 0 <= r.pad_ppm < 1_000_000
+
+
+def test_kfold_stratified_conservation(run, spark, sf_dir):
+    from collections import defaultdict
+
+    per_src = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    rows = run("mlsplit_kfold_stratified")
+    folds = defaultdict(dict)
+    for r in rows:
+        assert 0 <= r.fold < 5
+        folds[r.source][r.fold] = r.n
+    assert set(folds) == set(per_src)
+    for src, by_fold in folds.items():
+        assert sum(by_fold.values()) == per_src[src]
+        imb = max(by_fold.values()) - min(by_fold.values())
+        assert all(
+            r.imbalance == imb for r in rows if r.source == src
+        )
+
+
+def test_mad_matches_python_reference(run, spark, sf_dir):
+    """Low median, MAD and the 3-MAD outlier count recomputed exactly in
+    Python from the raw values — a third implementation."""
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS x")
+        .collect()
+    ):
+        vals[r.event_type].append(r.x)
+
+    def low_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    rows = run("stats_mad_robust_z")
+    assert {r.event_type for r in rows} == set(vals)
+    for r in rows:
+        xs = vals[r.event_type]
+        med = low_median(xs)
+        mad = low_median([abs(x - med) for x in xs])
+        assert r.n == len(xs)
+        assert r.median_cents == med
+        assert r.mad_cents == mad
+        assert r.n_outliers == sum(1 for x in xs if abs(x - med) > 3 * mad)
+
+
+def test_page_hinkley_matches_python_reference(run, duck):
+    """PH statistic recomputed from the daily series in Python."""
+    daily = duck.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS d,
+               (10 * CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT))
+                 // CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for et, _, x in daily:
+        series[et].append(int(x))
+    rows = run("ts_page_hinkley")
+    assert {r.event_type for r in rows} == set(series)
+    for r in rows:
+        xs = series[r.event_type]
+        mean = sum(xs) // len(xs)
+        m = ph = alarms = 0
+        runmin = None  # min over OBSERVED prefix sums (s >= 1), no m_0 = 0
+        for x in xs:
+            m += x - mean
+            runmin = m if runmin is None else min(runmin, m)
+            ph = max(ph, m - runmin)
+            alarms += (m - runmin) > 50_000
+        assert r.n_days == len(xs)
+        assert r.mean_milli == mean
+        assert r.ph_milli == ph
+        assert r.n_alarm_days == alarms
+
+
+def test_boilerplate_ngrams_df_recount(run, spark, sf_dir):
+    """Every reported 5-gram's document frequency recounted in Python
+    against the raw texts (distinct per-doc grams, same windows)."""
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+
+    def grams(t):
+        w = t.split(" ")
+        return (
+            {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+            if len(w) >= 5
+            else set()
+        )
+
+    docs = [grams(t) for t in texts]
+    rows = run("text_boilerplate_ngrams")
+    assert rows and len(rows) <= 15
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert r.df == sum(1 for g in docs if r.ngram in g)
+        assert r.df >= 3
+        assert r.doc_share_ppm == r.df * 1_000_000 // len(texts)
+
+
+def test_trimmed_mean_matches_python_reference(run, spark, sf_dir):
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_returnflag", "CAST(round(l_quantity) AS BIGINT) AS x")
+        .collect()
+    ):
+        vals[r.l_returnflag].append(r.x)
+    rows = run("stats_trimmed_mean")
+    assert {r.l_returnflag for r in rows} == set(vals)
+    for r in rows:
+        xs = sorted(vals[r.l_returnflag])
+        n = len(xs)
+        lo, hi = n // 10, n - n // 10
+        kept = xs[lo:hi]
+        assert r.n == n
+        assert r.n_kept == len(kept) == hi - lo
+        assert r.trimmed_sum == sum(kept)
+        assert r.trimmed_mean_milli == sum(kept) * 1000 // len(kept)
+        assert min(xs) * 1000 <= r.trimmed_mean_milli <= max(xs) * 1000

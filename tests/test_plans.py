@@ -1501,3 +1501,83 @@ def test_recall_at_k_no_global_window(q):
     df = q("eval_recall_at_k")
     assert pi.unbounded_global_windows(df) == []
     assert pi.broadcast_join_count(df) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators
+# ---------------------------------------------------------------------------
+
+
+def test_ams_sketch_two_aggregates_broadcast(q):
+    """AMS: two 1-row aggregates crossed via broadcast; no SMJ, no
+    unbounded window, single pass over each scan."""
+    df = q("sketch_ams_f2_moment")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_heaps_law_no_windows_broadcast_checkpoints(q):
+    """Heaps audit: first-seen aggregate + broadcast 4-row checkpoint
+    joins; zero windows anywhere in the plan."""
+    df = q("text_heaps_law")
+    assert pi.unbounded_global_windows(df) == []
+    assert "Window" not in pi.simple_plan(df)
+    assert pi.broadcast_join_count(df) >= 2
+
+
+def test_rbp_salted_topk_no_global_window(q):
+    df = q("eval_rank_biased_precision")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_vocab_overlap_word_keyed_join(q):
+    """Vocabulary overlap: sizes broadcast; the only shuffle join is
+    word-keyed; no windows."""
+    df = q("corpus_source_vocab_overlap")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 2
+    assert "Window" not in pi.simple_plan(df)
+
+
+def test_length_bucket_batching_single_scan_no_joins(q):
+    df = q("pipeline_length_bucket_batching")
+    assert pi.scan_count(df) == 1
+    assert pi.sortmerge_join_count(df) == 0
+    assert "Window" not in pi.simple_plan(df)
+
+
+def test_kfold_windows_partitioned_by_stratum(q):
+    df = q("mlsplit_kfold_stratified")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.scan_count(df) == 1
+
+
+def test_mad_histogram_windows_partitioned(q):
+    """Both medians run over HISTOGRAM aggregates with windows
+    partitioned by event_type; all small joins broadcast."""
+    df = q("stats_mad_robust_z")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 2
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_page_hinkley_daily_windows_partitioned(q):
+    df = q("ts_page_hinkley")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_boilerplate_ngrams_pre_cut(q):
+    df = q("text_boilerplate_ngrams")
+    assert pi.unbounded_global_windows(df) == []
+    assert "TakeOrderedAndProject" in pi.formatted_plan(df)
+
+
+def test_trimmed_mean_histogram_window(q):
+    df = q("stats_trimmed_mean")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0

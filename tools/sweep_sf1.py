@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""DuckDB differential at the 10x replica for the integer-micro-arithmetic
+families (round-5 verdict item 3).
+
+The two real round-5 scale bugs (the lorenz int64 overflow, the datasource
+single-file assumption) were caught by the BENCH artifact, not by
+CORRECTNESS — the oracle sweeps stop at sf0.1. Overflow is a CORRECTNESS
+failure mode that only appears past a data size, so this sweep re-runs the
+Spark-vs-DuckDB differential on /tmp/scale/sf1 (tools/gen_scale.py, 10x
+sf0.1) for every registered query whose oracle does fixed-point integer
+arithmetic (micro/ppm/milli/cents scaling) — the family where a sum can
+silently wrap int64.
+
+Usage: python tools/sweep_sf1.py OUT.json [sf_dir] [keys...]
+Defaults: sf_dir=/tmp/scale/sf1; keys auto-selected by oracle pattern.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from tests.compare import canon_frame  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# fixed-point integer arithmetic markers in the oracle SQL — the overflow-
+# prone family (micro-units, ppm, milli, cents, and bare 1e6 scalers)
+_MICRO_PAT = re.compile(r"1000000|_micro|_ppm|_milli|_cents|100000000")
+
+
+def pick_keys(oracles: dict[str, str]) -> list[str]:
+    return [k for k, sql in oracles.items() if _MICRO_PAT.search(sql)]
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_sf1_r06.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale/sf1"
+
+    from c2_duckdb_runner_spark import session as session_mod
+    import __spark_entry__ as e
+
+    spark = session_mod.get_spark(app_name="c2-spark-sweep-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    keys = sys.argv[3:] or sorted(pick_keys(oracles))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):  # Spark-written dataset directory
+            files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if files:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                    f"{files!r})"
+                )
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results: dict[str, dict] = {}
+    n_pass = n_fail = 0
+    t0 = time.time()
+    for k in keys:
+        t1 = time.time()
+        ent: dict = {}
+        try:
+            spdf = qs[k](spark, sf_dir).toPandas()
+            opdf = con.execute(oracles[k]).fetchdf()
+            ent["spark_rows"] = len(spdf)
+            ent["oracle_rows"] = len(opdf)
+            ent["rows_match"] = len(spdf) == len(opdf)
+            ent["schema_match"] = sorted(
+                c.lower() for c in spdf.columns
+            ) == sorted(c.lower() for c in opdf.columns)
+            a, b = canon_frame(spdf), canon_frame(opdf)
+            ent["hash_match"] = [repr(r) for r in a] == [repr(r) for r in b]
+            ent["err"] = None
+            if not ent["hash_match"]:
+                bs = {repr(r) for r in b}
+                ent["spark_only"] = [repr(r) for r in a if repr(r) not in bs][:2]
+                as_ = {repr(r) for r in a}
+                ent["oracle_only"] = [
+                    repr(r) for r in b if repr(r) not in as_
+                ][:2]
+        except Exception as ex:  # noqa: BLE001
+            ent = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "err": str(ex)[:300],
+            }
+        ent["sec"] = round(time.time() - t1, 1)
+        ok = ent.get("hash_match") and ent.get("rows_match")
+        n_pass += bool(ok)
+        n_fail += not ok
+        results[k] = ent
+        print(f"{'PASS' if ok else 'FAIL'} {k} ({ent['sec']}s)", flush=True)
+        spark.catalog.clearCache()
+
+    summary = {
+        "what": (
+            "Round-6 10x-replica correctness sweep (verdict r05 item 3): "
+            "DuckDB differential on /tmp/scale/sf1 for every query whose "
+            "oracle does fixed-point integer arithmetic — the int64-"
+            "overflow failure family the sf0.1 sweeps cannot see."
+        ),
+        "sf_dir": sf_dir,
+        "n_keys": len(keys),
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "total_sec": round(time.time() - t0, 1),
+        "results": results,
+    }
+    with open(os.path.join(REPO, out_path), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(
+        f"wrote {out_path}: {n_pass} pass / {n_fail} fail of {len(keys)}",
+        flush=True,
+    )
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
