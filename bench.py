@@ -163,6 +163,11 @@ HEADLINE = [
     "ts_page_hinkley",          # sequential drift detector, daily series
     "text_boilerplate_ngrams",  # cross-doc 5-gram boilerplate report
     "stats_trimmed_mean",       # histogram-rank decile-trimmed mean
+    "stats_hodges_lehmann",     # Walsh-pair pseudo-median in domain space
+    "stats_wilcoxon_signed_rank",  # paired rank test, 2R mid-ranks
+    "eval_krippendorff_alpha",  # variable-rater agreement, LCM-exact Do
+    "sample_temperature_mixture",  # tau=0.5 mixture largest-remainder
+    "stats_iqr_fences",         # Tukey boxplot fences, histogram ranks
 ]
 
 # Frozen cross-round comparison core (round-6, per round-5 verdict item 2):

@@ -655,3 +655,144 @@ def test_trimmed_mean_matches_python_reference(run, spark, sf_dir):
         assert r.trimmed_sum == sum(kept)
         assert r.trimmed_mean_milli == sum(kept) * 1000 // len(kept)
         assert min(xs) * 1000 <= r.trimmed_mean_milli <= max(xs) * 1000
+
+
+# === round-6 batch C invariants ================================================
+
+
+def test_hodges_lehmann_matches_numpy_reference(run, spark, sf_dir):
+    """Walsh-pair count is exactly n(n+1)/2 and the weighted-histogram
+    median equals a brute-force numpy Walsh median over the raw rows."""
+    import numpy as np
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_returnflag", "CAST(round(l_quantity) AS BIGINT) AS x")
+        .collect()
+    ):
+        vals[r.l_returnflag].append(r.x)
+    rows = run("stats_hodges_lehmann")
+    assert {r.l_returnflag for r in rows} == set(vals)
+    for r in rows:
+        x = np.array(sorted(vals[r.l_returnflag]), dtype=np.int64)
+        n = len(x)
+        assert r.n_walsh == n * (n + 1) // 2
+        sums = np.add.outer(x, x)[np.triu_indices(n)]
+        k = (len(sums) + 1) // 2 - 1
+        expected = np.partition(sums, k)[k]
+        assert r.hl_double == int(expected)
+        assert r.hl_milli == r.hl_double * 500
+        assert 2 * x.min() <= r.hl_double <= 2 * x.max()
+
+
+def test_wilcoxon_rank_sum_identity(run, duck):
+    """W2+ + W2- = n(n+1) (doubled total rank sum) and the split matches
+    a Python recompute with scipy-style mid-ranks."""
+    daily = duck.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS d,
+               (10 * CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT))
+                 // CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+        """
+    ).fetchall()
+    by = {}
+    for et, d, x in daily:
+        by.setdefault(d, {})[et] = int(x)
+    diffs = [
+        v["view"] - v["click"]
+        for v in by.values()
+        if "view" in v and "click" in v and v["view"] != v["click"]
+    ]
+    (r,) = run("stats_wilcoxon_signed_rank")
+    assert r.n_pairs == len(diffs)
+    assert r.w2_plus + r.w2_minus == r.n_pairs * (r.n_pairs + 1)
+    srt = sorted(abs(d) for d in diffs)
+    w2p = 0
+    for d in diffs:
+        if d > 0:
+            below = sum(1 for a in srt if a < abs(d))
+            tied = sum(1 for a in srt if a == abs(d))
+            w2p += 2 * below + tied + 1
+    assert r.w2_plus == w2p
+
+
+def test_krippendorff_alpha_python_reference(run, spark, sf_dir):
+    """Alpha recomputed exactly (fractions.Fraction) from the raw
+    (unit, label) pairs; bounded above by 1."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    units = defaultdict(Counter)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_returnflag")
+        .collect()
+    ):
+        units[r.l_orderkey][r.l_returnflag] += 1
+    do = Fraction(0)
+    n = 0
+    labels = Counter()
+    for cnt in units.values():
+        m = sum(cnt.values())
+        if m < 2:
+            continue
+        n += m
+        labels.update(cnt)
+        do += Fraction(m * m - sum(v * v for v in cnt.values()), m - 1)
+    snv2 = sum(v * v for v in labels.values())
+    alpha = 1 - Fraction(n - 1) * do / (n * n - snv2)
+    (r,) = run("eval_krippendorff_alpha")
+    assert r.n == n
+    assert r.snv2_all == snv2
+    assert r.o_sc == do * 720720  # LCM-scaled sum is exact
+    assert r.alpha <= 1
+    assert abs(r.alpha - float(alpha)) < 1e-6
+
+
+def test_temperature_mixture_budget_and_weights(run, spark, sf_dir):
+    import math
+
+    per_src = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    rows = run("sample_temperature_mixture")
+    assert {r.source for r in rows} == set(per_src)
+    assert sum(r.alloc for r in rows) == 1000
+    for r in rows:
+        assert r.n_docs == per_src[r.source]
+        assert r.weight == round(math.sqrt(r.n_docs) * 1000)
+        assert r.alloc >= 0
+
+
+def test_iqr_fences_python_reference(run, spark, sf_dir):
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS x")
+        .collect()
+    ):
+        vals[r.event_type].append(r.x)
+    rows = run("stats_iqr_fences")
+    assert {r.event_type for r in rows} == set(vals)
+    for r in rows:
+        xs = sorted(vals[r.event_type])
+        n = len(xs)
+        q1 = xs[(n + 3) // 4 - 1]
+        q3 = xs[(3 * n + 3) // 4 - 1]
+        out = sum(
+            1
+            for x in xs
+            if 2 * x < 2 * q1 - 3 * (q3 - q1) or 2 * x > 2 * q3 + 3 * (q3 - q1)
+        )
+        assert (r.n, r.q1_cents, r.q3_cents, r.n_outliers) == (n, q1, q3, out)
+        assert r.q1_cents <= r.q3_cents

@@ -1581,3 +1581,38 @@ def test_trimmed_mean_histogram_window(q):
     assert pi.unbounded_global_windows(df) == []
     assert pi.broadcast_join_count(df) >= 1
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_hodges_lehmann_domain_square_join(q):
+    """The Walsh pair join runs on the VALUE HISTOGRAM; windows over the
+    pair-bin aggregate only."""
+    df = q("stats_hodges_lehmann")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_wilcoxon_daily_bounded_windows(q):
+    """Cumulative ranking runs over the |diff| HISTOGRAM of the
+    calendar-bounded daily series (an aggregate — detector-clean)."""
+    df = q("stats_wilcoxon_signed_rank")
+    assert pi.unbounded_global_windows(df) == []
+
+
+def test_krippendorff_two_aggregates(q):
+    df = q("eval_krippendorff_alpha")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+    assert "Window" not in pi.simple_plan(df)
+
+
+def test_temperature_mixture_aggregate_windows(q):
+    df = q("sample_temperature_mixture")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.scan_count(df) == 1
+
+
+def test_iqr_fences_histogram_windows(q):
+    df = q("stats_iqr_fences")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 3
+    assert pi.sortmerge_join_count(df) == 0

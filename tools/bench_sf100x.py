@@ -42,6 +42,11 @@ def run_pass(sf_dir: str, out: str, keys: list[str]) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_OUT"] = out
     env["SPARK_GRAFT_BENCH_KEYS"] = ",".join(keys)
+    # 60 M-row inputs: the default 8g driver JVM dies in the heaviest
+    # wedge-join stage (a real cluster sizes executors to the data; the
+    # single-JVM local harness must too). Both passes use the same heap
+    # so the wall ratio stays apples-to-apples.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         cwd=REPO,
