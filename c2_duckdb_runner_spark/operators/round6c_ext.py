@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.session import scratch_persist
 from c2_duckdb_runner_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -370,6 +371,9 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "documents").groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+    # persisted: the weight frame feeds both the budget total and the
+    # apportionment — without it the plan re-scans documents
+    s = scratch_persist(s)
     w = s.select(
         "source",
         "n_docs",
