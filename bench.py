@@ -168,6 +168,10 @@ HEADLINE = [
     "eval_krippendorff_alpha",  # variable-rater agreement, LCM-exact Do
     "sample_temperature_mixture",  # tau=0.5 mixture largest-remainder
     "stats_iqr_fences",         # Tukey boxplot fences, histogram ranks
+    "eval_auprc_threshold_sweep",  # exact PR-AUC from the score histogram
+    "graph_avg_neighbor_degree",   # knn(k) degree-correlation curve
+    "stats_poisson_dispersion",    # daily-count variance-to-mean ratio
+    "pipeline_tokenizer_compression_rate",  # chars/token quality proxy
 ]
 
 # Frozen cross-round comparison core (round-6, per round-5 verdict item 2):

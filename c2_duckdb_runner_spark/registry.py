@@ -168,6 +168,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.round6_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.round6b_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.round6c_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.round6d_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -796,3 +796,88 @@ def test_iqr_fences_python_reference(run, spark, sf_dir):
         )
         assert (r.n, r.q1_cents, r.q3_cents, r.n_outliers) == (n, q1, q3, out)
         assert r.q1_cents <= r.q3_cents
+
+
+# === round-6 batch D invariants ================================================
+
+
+def test_auprc_matches_python_reference(run, spark, sf_dir):
+    """Step-wise average precision recomputed exactly in Python from the
+    raw (score, label) pairs; bounded in [0, 1]; baseline = prevalence."""
+    rows_raw = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "CAST(n_chars AS BIGINT) AS s",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    hist = defaultdict(lambda: [0, 0])
+    for r in rows_raw:
+        hist[r.s][0] += 1
+        hist[r.s][1] += r.y
+    p_all = sum(v[1] for v in hist.values())
+    n_all = sum(v[0] for v in hist.values())
+    tp = npred = 0
+    ap_num = 0
+    for s in sorted(hist, reverse=True):
+        cnt, pos = hist[s]
+        tp_prev = tp
+        tp += pos
+        npred += cnt
+        ap_num += (tp - tp_prev) * (1_000_000 * tp // npred)
+    (r,) = run("eval_auprc_threshold_sweep")
+    assert (r.n_pos, r.n_docs) == (p_all, n_all)
+    assert r.auprc_micro == ap_num // p_all
+    assert 0 <= r.auprc_micro <= 1_000_000
+    assert r.baseline_micro == 1_000_000 * p_all // n_all
+
+
+def test_avg_neighbor_degree_endpoint_identity(run, spark, sf_dir):
+    """A degree-k node contributes exactly k endpoint rows, so
+    n_endpoints = degree * n_nodes per class and the classes partition
+    the edge set."""
+    from c2_duckdb_runner_spark.operators.graph import _edges
+
+    E = _edges(spark, sf_dir).count()
+    rows = run("graph_avg_neighbor_degree")
+    assert sum(r.n_endpoints for r in rows) == E
+    for r in rows:
+        assert r.n_endpoints == r.degree * r.n_nodes
+        assert r.knn_micro == 1_000_000 * r.sum_nbr_deg // r.n_endpoints
+        assert r.knn_micro >= 1_000_000  # every neighbor has degree >= 1
+
+
+def test_poisson_dispersion_python_reference(run, duck):
+    daily = duck.execute(
+        "SELECT event_type, date_trunc('day', ts), COUNT(*) FROM events"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for et, _, x in daily:
+        series[et].append(int(x))
+    rows = run("stats_poisson_dispersion")
+    assert {r.event_type for r in rows} == set(series)
+    for r in rows:
+        xs = series[r.event_type]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        assert r.n_days == n and r.n_events == sx
+        assert r.vmr_micro == 1_000_000 * (n * sxx - sx * sx) // (n * sx)
+        assert r.vmr_micro >= 0
+
+
+def test_compression_rate_conservation(run, spark, sf_dir):
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = run("pipeline_tokenizer_compression_rate")
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert r.total_chars >= r.total_tokens  # every token >= 1 char
+        assert r.chars_per_token_micro >= 1_000_000
+        assert (
+            r.chars_per_token_micro
+            == 1_000_000 * r.total_chars // r.total_tokens
+        )

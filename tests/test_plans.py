@@ -1616,3 +1616,31 @@ def test_iqr_fences_histogram_windows(q):
     assert pi.unbounded_global_windows(df) == []
     assert pi.broadcast_join_count(df) >= 3
     assert pi.sortmerge_join_count(df) == 0
+
+
+def test_auprc_histogram_sweep(q):
+    """The PR sweep's cumulative windows run over the score HISTOGRAM
+    (detector-clean), totals broadcast."""
+    df = q("eval_auprc_threshold_sweep")
+    assert pi.unbounded_global_windows(df) == []
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_avg_neighbor_degree_keyed_joins(q):
+    df = q("graph_avg_neighbor_degree")
+    assert pi.unbounded_global_windows(df) == []
+    assert "Window" not in pi.simple_plan(df)
+
+
+def test_poisson_dispersion_two_aggregates(q):
+    df = q("stats_poisson_dispersion")
+    assert pi.scan_count(df) == 1
+    assert "Window" not in pi.simple_plan(df)
+    assert pi.sortmerge_join_count(df) == 0
+
+
+def test_compression_rate_single_pass(q):
+    df = q("pipeline_tokenizer_compression_rate")
+    assert pi.scan_count(df) == 1
+    assert "Window" not in pi.simple_plan(df)
