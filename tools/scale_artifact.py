@@ -69,7 +69,7 @@ def main() -> None:
     worst.sort(reverse=True)
     out = {
         "what": (
-            "Round-5 scale validation (VERDICT r04 item 3): EVERY headline "
+            "Scale validation: EVERY headline "
             "query timed at sf0.1 (driver fixtures) and at the 10x "
             "key-shifted replica (tools/gen_scale.py), identical "
             "methodology (untimed per-query warm-up + median of 3, "
