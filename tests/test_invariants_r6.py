@@ -881,3 +881,61 @@ def test_compression_rate_conservation(run, spark, sf_dir):
             r.chars_per_token_micro
             == 1_000_000 * r.total_chars // r.total_tokens
         )
+
+
+# === final round-6 additions: conservation laws for older keys ================
+
+
+def test_largest_remainder_conservation(run, spark, sf_dir):
+    """THE property Hamilton allocation exists for: per order,
+    sum(alloc_cents) == the order's total cents, exactly — and pinned on
+    the operator whose 10x tie-break bug round 6 fixed."""
+    from collections import defaultdict
+
+    totals = {
+        r.k: r.t
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderkey % 9 = 0")
+        .selectExpr(
+            "o_orderkey AS k",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS t",
+        )
+        .collect()
+    }
+    alloc = defaultdict(int)
+    for r in run("alloc_largest_remainder"):
+        alloc[r.order_key] += r.alloc_cents
+    assert set(alloc) == set(totals) & set(alloc)  # only orders with lines
+    for k, s in alloc.items():
+        assert s == totals[k], f"order {k}: {s} != {totals[k]}"
+
+
+def test_benford_shares_sum_and_reference_law(run):
+    """Observed digit shares partition the sample (sum ~ 1e6 up to floor
+    loss per digit); the reference column IS Benford's law."""
+    import math
+
+    rows = run("audit_benford_digits")
+    assert {r.d for r in rows} <= set(range(1, 10))
+    tot_ppm = sum(r.observed_ppm for r in rows)
+    assert 1_000_000 - 9 <= tot_ppm <= 1_000_000
+    for r in rows:
+        expect = math.floor(math.log10(1.0 + 1.0 / r.d) * 1_000_000)
+        assert r.benford_ppm == expect
+        n_tot = sum(x.n for x in rows)
+        assert r.observed_ppm == r.n * 1_000_000 // n_tot
+
+
+def test_retention_cohort_structure(run):
+    """Week-0 actives equal the cohort size (everyone is active in their
+    first week by construction) and no offset exceeds week 0."""
+    from collections import defaultdict
+
+    by_cohort = defaultdict(dict)
+    for r in run("retention_cohort_weekly"):
+        assert r.offset_wk >= 0
+        by_cohort[r.cohort_wk][r.offset_wk] = r.n_active
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs  # week-0 row always present
+        for off, n in offs.items():
+            assert n <= offs[0]
