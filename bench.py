@@ -392,6 +392,7 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "cpus": int(cpus),
         "repeats": repeats,
+        "warmup": 1,  # one untimed per-query run, see comment above
         "stat": "median",
     }
     if errors:

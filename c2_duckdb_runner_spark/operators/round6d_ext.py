@@ -190,7 +190,10 @@ s AS (
   FROM daily GROUP BY 1
 )
 SELECT event_type, n AS n_days, sx AS n_events,
-       CAST((1000000 * (n * sxx - sx * sx)) // (n * sx) AS BIGINT)
+       CAST((CAST(1000000 AS HUGEINT)
+             * (CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)))
+            // (CAST(n AS HUGEINT) * CAST(sx AS HUGEINT)) AS BIGINT)
          AS vmr_micro
 FROM s
 """
@@ -202,8 +205,14 @@ def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     event counts: VMR = 1 under Poisson arrivals, > 1 = bursty/clustered
     traffic, < 1 = under-dispersed (rate-limited) — the arrival-process
     diagnostic behind anomaly thresholds. Population variance over mean
-    as ONE exact integer expression: 10⁶·(n·Σx² − (Σx)²) div (n·Σx) —
-    magnitudes are day-count-bounded, so no overflow at any corpus size.
+    as ONE exact integer expression: 10⁶·(n·Σx² − (Σx)²) div (n·Σx).
+    Σx² grows QUADRATICALLY with per-day counts (int64 wraps once a
+    daily count reaches ~1.6e5 at n=365 — the assortativity overflow
+    family), so the final combination runs in 128-bit integers on both
+    engines: Spark DECIMAL(38,0) `div` ≙ DuckDB HUGEINT `//`. Both
+    operands are non-negative (Cauchy–Schwarz: n·Σx² ≥ (Σx)²), so
+    floor (DuckDB) and truncate (Spark) agree, and the quotient is
+    back in int64 range (VMR_micro ≤ 10⁶·max daily count).
 
     Scale shape: daily rollup (the one data-sized aggregate, map-side
     combining) then a per-type sufficient-stats reduce over the
@@ -223,7 +232,11 @@ def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.col("sx").alias("n_events"),
         F.expr(
-            "CAST((1000000 * (n * sxx - sx * sx)) div (n * sx) AS BIGINT)"
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))"
+            "    - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))))"
+            " div (CAST(n AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"
+            " AS BIGINT)"
         ).alias("vmr_micro"),
     )
 

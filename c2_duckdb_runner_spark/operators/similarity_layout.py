@@ -158,7 +158,8 @@ WITH z AS (
   FROM lineitem
 ), b AS (
   SELECT l_partkey, l_suppkey,
-         NTILE({_ZBUCKETS}) OVER (ORDER BY zval, l_orderkey, l_linenumber)
+         NTILE({_ZBUCKETS}) OVER (ORDER BY zval, l_orderkey, l_linenumber,
+                                  l_partkey, l_suppkey)
            AS bucket
   FROM z
 )
@@ -200,7 +201,8 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     zp = scratch_persist(
         z.repartitionByRange(
-            parts, "zval", "l_orderkey", "l_linenumber"
+            parts, "zval", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_suppkey"
         ).withColumn("pid", F.spark_partition_id())
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -216,8 +218,14 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt").over(wcum) - F.col("cnt")).cast("bigint").alias("off"),
     )
     n = zp.agg(F.count("*").cast("bigint").alias("n"))
+    # (zval, l_orderkey, l_linenumber) is NOT total: the fixture has
+    # duplicate (orderkey, linenumber) pairs and zval keeps only the low
+    # 16 bits of each key, so key-shifted replicas (keys > 2^16) can tie
+    # on all three with different partkey/suppkey. Appending the full
+    # keys makes the order total — same fix family as
+    # alloc_largest_remainder (round-6 10x bug).
     wv = Window.partitionBy("pid").orderBy(
-        "zval", "l_orderkey", "l_linenumber"
+        "zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     ranked = zp.join(F.broadcast(offs), "pid").select(
         "l_partkey",

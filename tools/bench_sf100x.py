@@ -60,7 +60,9 @@ def run_pass(sf_dir: str, out: str, keys: list[str]) -> dict:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    target = args[0] if args else "BENCH_sf10_r06.json"
+    if not args:
+        sys.exit("usage: bench_sf100x.py OUT.json [key,key,...]")
+    target = args[0]
     keys = args[1].split(",") if len(args) > 1 else DEFAULT_KEYS
     if not os.path.isdir(SF10):
         print(f"{SF10} missing — run tools/gen_scale.py 100 first")
@@ -88,22 +90,27 @@ def main() -> None:
         queries[k] = ent
     out = {
         "what": (
-            "Round-6 100x spot-check (verdict r05 item 4): the top-8 "
-            "wall_x keys from BENCH_sf1_r05 timed at the 10x and 100x "
+            "100x spot-check (verdict r05 item 4): the steepest "
+            "wall_x keys from the BENCH_sf1 artifact timed at the 10x and 100x "
             "key-shifted replicas (tools/gen_scale.py). wall_x10 ~= 10 "
             "on a 10x step = linear; a knee (wall_x10 >> 10) marks a "
             "super-linear operator the 10x artifact could not see."
         ),
         "method": {
-            "cpus": int(small.get("cpus", 32)),
-            "repeats": small.get("repeats", 3),
+            # propagated from the bench output, not hard-coded, so a
+            # cpus/warmup change in bench.py flows through (ADVICE r06)
+            "cpus": small.get("cpus"),
+            "repeats": small.get("repeats"),
             "stat": "median",
-            "warmup": 1,
+            "warmup": small.get("warmup"),
             "step": "sf1 (10x of sf0.1) -> sf10 (100x of sf0.1)",
         },
-        "totals": {
+        # sum over ONLY the selected spot-check keys — not comparable to
+        # bench.py's all-headline total (ADVICE r06 naming)
+        "selected_keys_total_sec": {
             "sec_sf1": round(sum(small["queries"].values()), 1),
             "sec_sf10": round(sum(big["queries"].values()), 1),
+            "n_keys": len(queries),
         },
         "queries": queries,
     }

@@ -39,7 +39,11 @@ def main() -> None:
     # flags are not artifact names: `scale_artifact.py --run` must not
     # write a file literally called "--run"
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    target = args[0] if args else "BENCH_sf1_r05.json"
+    if not args:
+        # an explicit target is required: a default would silently
+        # overwrite a frozen prior-round artifact (ADVICE r06)
+        sys.exit("usage: scale_artifact.py BENCH_sf1_rNN.json [--run]")
+    target = args[0]
     if "--run" in sys.argv:
         run_pass("/root/testdata/sf0.1", SMALL)
         run_pass("/tmp/scale/sf1", BIG)
