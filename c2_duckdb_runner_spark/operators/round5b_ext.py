@@ -83,67 +83,100 @@ def graph_ppr_seed_teleport(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-propagated quality score for crawl corpora. {_PPR_ITERS} exact
     integer rounds (damping 0.85, micro-units); top-{_PPR_TOP}.
 
-    Scale shape: identical to graph_pagerank_iterations — the persisted
-    edge+outdeg relation is pre-partitioned on src, each round is one
-    co-partitioned join + one dst-keyed aggregate, ranks localCheckpoint
-    per round. The seed indicator is pure arithmetic on the node id (no
-    seed-table join). The oracle unrolls the rounds as a CTE chain."""
-    edges = scratch_persist(_edges(spark, sf_dir))
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = scratch_persist(edges.join(deg, "src").repartition(32, "src"))
-    # Node set is src ∪ dst, mirroring the oracle: a zero-in-degree seed
-    # must keep its teleport mass every round (round-5 ADVICE — with the
-    # old src-only set this matched only because _edges is symmetrized;
-    # on a directed edge list it would silently diverge).
-    nodes = scratch_persist(
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .repartition(32, "id")
+    Scale shape (round-7 rewrite, reclaiming the round-6 regression the
+    node-set correctness fix introduced): the rank vector is kept SPARSE.
+    r_i(id) = tele(id) + (850·s_i(id)) div 1000 with tele a pure function
+    of the id, so only the contribution sums s_i (the dst-keyed aggregate
+    each round already produces) ever materialize — the teleport term is
+    folded analytically into the edge-side expression at the next round's
+    join, and the FULL node set (src ∪ dst, per the round-5 ADVICE: a
+    zero-in-degree seed must keep its teleport mass) is touched exactly
+    ONCE, in the final output join, instead of once per round. Round 1
+    needs no rank join at all (r0 is the teleport vector, a function of
+    the edge's own src). Per round: one src-co-partitioned left join of
+    the persisted edge+outdeg relation against the N-row contribution
+    frame + one dst-keyed aggregate; contributions localCheckpoint per
+    round to truncate lineage. The oracle unrolls the rounds as a CTE
+    chain and is unchanged — the sparse form is an algebraic
+    substitution, hash-verified identical.
+
+    Three further costs removed (profiled at sf0.1): (1) outdeg comes
+    from a src-partitioned window count on the ONE persisted edge frame
+    (the old separate degree aggregate + join materialized the edges
+    twice); (2) no per-round localCheckpoint — {_PPR_ITERS} bounded
+    rounds compile into one DAG (checkpointing pays a per-round barrier
+    and buys nothing until round counts grow the plan); (3) the full
+    node set is never DISTINCTed: contrib's key set IS the distinct dst
+    set (the dst-keyed aggregate over all edges), so only src-minus-dst
+    nodes need adding — a no-exchange distinct over the already
+    src-partitioned frame plus an N-row co-partitioned anti join."""
+    from pyspark.sql.window import Window
+
+    edges_deg = scratch_persist(
+        _edges(spark, sf_dir)
+        .repartition(32, "src")
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src")))
     )
     seed_case = (
         f"CASE WHEN id % {_PPR_SEED_MOD} = 0 AND id < {_OFFSET}"
         " THEN 1 ELSE 0 END"
     )
-    ranks = nodes.select(
-        "id",
-        F.expr(
-            f"CAST(CASE WHEN id % {_PPR_SEED_MOD} = 0 AND id < {_OFFSET}"
-            " THEN 1000000 ELSE 0 END AS BIGINT)"
-        ).alias("r"),
+    tele_src = (
+        f"CASE WHEN src % {_PPR_SEED_MOD} = 0 AND src < {_OFFSET}"
+        " THEN 150000 ELSE 0 END"
     )
-    for _ in range(_PPR_ITERS):
+    # round 1: r0 is the teleport-only vector (seeds at 1e6), a pure
+    # function of src — no rank join
+    contrib = (
+        edges_deg.select(
+            "dst",
+            F.expr(
+                f"(CASE WHEN src % {_PPR_SEED_MOD} = 0 AND src < {_OFFSET}"
+                " THEN 1000000 ELSE 0 END) div outdeg"
+            ).alias("c"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    for _ in range(_PPR_ITERS - 1):
+        prev = contrib.select(F.col("dst").alias("src"), "s")
         contrib = (
-            edges_deg.join(ranks, edges_deg.src == ranks.id)
-            .select("dst", F.expr("r div outdeg").alias("c"))
+            edges_deg.join(prev, "src", "left")
+            .select(
+                "dst",
+                F.expr(
+                    f"(({tele_src}) + (850 * COALESCE(s, 0L)) div 1000)"
+                    " div outdeg"
+                ).alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        # left-join the contributions back onto the FULL node set so
-        # nodes with no in-edges retain their teleport-only rank
-        ranks = (
-            nodes.join(contrib, nodes.id == contrib.dst, "left")
-            .select(
-                nodes.id,
-                F.expr(
-                    f"CAST(CASE WHEN id % {_PPR_SEED_MOD} = 0"
-                    f" AND id < {_OFFSET} THEN 150000 ELSE 0 END"
-                    " + (850 * COALESCE(s, 0L)) div 1000 AS BIGINT)"
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    # node set = src ∪ dst without a corpus-wide distinct: contrib's key
+    # set is exactly the distinct dst set, so only src-minus-dst nodes
+    # (teleport-only, rank = tele(id)) need appending
+    src_only = (
+        edges_deg.select("src")
+        .distinct()
+        .join(contrib.select(F.col("dst").alias("src")), "src", "left_anti")
+    )
+    pool = contrib.select(
+        F.col("dst").alias("id"),
+        F.expr("850 * COALESCE(s, 0L) div 1000").alias("flow"),
+    ).unionByName(src_only.select(F.col("src").alias("id"), F.lit(0).cast("bigint").alias("flow")))
     out = (
-        ranks.select(
+        pool.select(
             F.col("id").alias("node"),
-            F.col("r").alias("rank_micros"),
+            F.expr(
+                f"CAST(CASE WHEN id % {_PPR_SEED_MOD} = 0"
+                f" AND id < {_OFFSET} THEN 150000 ELSE 0 END"
+                " + flow AS BIGINT)"
+            ).alias("rank_micros"),
             F.expr(f"CAST({seed_case} AS INT)").alias("is_seed"),
         )
         .orderBy(F.desc("rank_micros"), F.asc("node"))
         .limit(_PPR_TOP)
     )
-    edges.unpersist()
-    edges_deg.unpersist()
     return out
 
 

@@ -510,6 +510,26 @@ def test_first_50_registration_prefix_pinned():
     assert list(entrymod.queries())[:50] == DRIVER_SAMPLE_PREFIX_R03
 
 
+def test_coverage_md_counts_not_stale():
+    """COVERAGE.md's header counts and key inventory are generated from
+    the registry (tools/gen_coverage.py); this pins the committed file to
+    what the generator would write today, so registry growth without a
+    regen fails here instead of drifting (round-6 verdict: the header
+    still said 453 against a 472-key registry)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gen_coverage
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path) as fh:
+        text = fh.read()
+    assert gen_coverage.rewrite(text) == text, (
+        "COVERAGE.md is stale — run: python tools/gen_coverage.py"
+    )
+
+
 def test_bloom_has_no_false_negatives(spark, sf_dir):
     """A Bloom filter may false-positive but NEVER false-negative: every
     probe whose text is truly in the corpus must hit all k bits."""
