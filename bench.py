@@ -172,6 +172,22 @@ HEADLINE = [
     "graph_avg_neighbor_degree",   # knn(k) degree-correlation curve
     "stats_poisson_dispersion",    # daily-count variance-to-mean ratio
     "pipeline_tokenizer_compression_rate",  # chars/token quality proxy
+    "stats_mood_median_test",   # pooled-median 2xk chi-square, 128-bit
+    "eval_matthews_corrcoef",   # MCC + Youden + balanced accuracy
+    "stats_cliffs_delta",       # ordinal effect size, histogram pairs
+    "stats_kendall_w",          # k-rater concordance, doubled mid-ranks
+    "stats_capture_recapture",  # Lincoln-Petersen dedup sizing audit
+    "text_simpson_diversity",   # collision-probability token diversity
+    "stats_theil_between_nations",  # decomposable inequality index
+    "alloc_dhondt_divisor",     # divisor-method apportionment
+    "ts_hampel_filter",         # rolling median/MAD outlier screen
+    "ts_bollinger_breakout",    # trailing mean+-2sigma, integer-exact
+    "ts_hurst_rescaled_range",  # R/S long-memory diagnostic
+    "pipeline_rendezvous_sharding",  # HRW shard assignment + balance
+    "corpus_jsd_trigram_drift",  # bucketed JSD drift per source
+    "simsearch_radius_count",   # range query + cell-pruned recall
+    "embed_kmeans_update_round",  # Lloyd step, exact micro centroids
+    "dedup_lsh_scurve_audit",   # banding collision curve vs analytic
 ]
 
 # Frozen cross-round comparison core (round-6, per round-5 verdict item 2):

@@ -207,7 +207,7 @@ def search_err_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> a + b))"
         ).alias("nrm"),
     )
-    q = n.where(F.col("vec_id") <= _ERR_N_QUERIES).select(
+    q = n.where(F.col("vec_id") <= _ERR_N_QUERIES).limit(_ERR_N_QUERIES + 1).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),

@@ -188,9 +188,9 @@ def simsearch_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     cent = F.broadcast(
-        emb.filter(F.col("vec_id") < _CODEBOOK).select(
-            F.col("vec_id").alias("c_id"), F.col("v").alias("cvec")
-        )
+        emb.filter(F.col("vec_id") < _CODEBOOK)
+        .limit(_CODEBOOK)  # bounded codebook: provable loop-join build side
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cvec"))
     )
     j = emb.crossJoin(cent)
     dist_cols = []

@@ -198,7 +198,9 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = starts.agg(F.sum("c").cast("bigint").alias("tc"))
     runs = spark.createDataFrame(
         [("BASE",)] + [(c,) for c in _CHANNELS], "run string"
-    )
+    ).limit(len(_CHANNELS) + 1)  # createDataFrame plans as an opaque
+    # ExistingRDD scan; the limit reasserts the literal row bound for
+    # the loop-join ban
     v = (
         starts.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(runs))

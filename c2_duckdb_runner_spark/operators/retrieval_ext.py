@@ -125,7 +125,7 @@ def simsearch_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "v", "nrm")
     )
-    q = e.filter(F.col("vec_id") == _QUERY_ID).select(
+    q = e.filter(F.col("vec_id") == _QUERY_ID).limit(1).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     pool = (
@@ -142,6 +142,10 @@ def simsearch_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosq"), F.asc("vec_id"))
         .limit(_MMR_POOL)
         .localCheckpoint()  # pool is k·4 rows; corpus scan must not re-run
+        # reassert the pool's row bound after the checkpoint (RDDScan is
+        # an opaque leaf) so the greedy loop's broadcasts stay provably
+        # bounded for the loop-join ban
+        .limit(_MMR_POOL)
     )
     sel = (
         pool.orderBy(F.desc("cosq"), F.asc("vec_id"))

@@ -103,7 +103,7 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "v", "nrm")
     )
-    q = e.filter(F.col("vec_id") <= _AP_N_QUERIES).select(
+    q = e.filter(F.col("vec_id") <= _AP_N_QUERIES).limit(_AP_N_QUERIES + 1).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
@@ -272,12 +272,12 @@ def simsearch_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     cent = F.broadcast(
-        e.filter(F.col("vec_id") < _ADC_CODEBOOK).select(
-            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-        )
+        e.filter(F.col("vec_id") < _ADC_CODEBOOK)
+        .limit(_ADC_CODEBOOK)  # bounded codebook: provable loop-join build
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
     )
     qv = F.broadcast(
-        e.filter(F.col("vec_id") == _ADC_QUERY_ID).select(
+        e.filter(F.col("vec_id") == _ADC_QUERY_ID).limit(1).select(
             F.col("v").alias("qv")
         )
     )

@@ -317,7 +317,7 @@ def eval_rank_biased_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "v", "nrm")
     )
-    q = e.filter(F.col("vec_id") <= _RBP_N_QUERIES).select(
+    q = e.filter(F.col("vec_id") <= _RBP_N_QUERIES).limit(_RBP_N_QUERIES + 1).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),

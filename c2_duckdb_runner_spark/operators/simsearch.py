@@ -72,10 +72,14 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.expr(_NRM))
         .select("vec_id", "label", "v", "nrm")
     )
-    q = e.filter(F.col("vec_id") == _QUERY_ID).select(
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        F.col("label").alias("qlabel"),
+    q = (
+        e.filter(F.col("vec_id") == _QUERY_ID)
+        .limit(1)  # vec_id unique: provably 1-row build for the loop join
+        .select(
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("label").alias("qlabel"),
+        )
     )
     # one-row dimension: broadcast nested-loop join, corpus never shuffles
     return e.crossJoin(F.broadcast(q)).withColumn(
@@ -214,6 +218,7 @@ def simsearch_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         e.filter(F.col("vec_id") == _QUERY_ID)
+        .limit(1)  # vec_id unique: provably 1-row build for the loop join
         .crossJoin(F.broadcast(cents))
         .select(
             F.col("v").alias("qv"),
@@ -310,7 +315,7 @@ def simsearch_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.expr(_NRM))
         .select("vec_id", "v", "nrm")
     )
-    qs = e.filter(F.col("vec_id").isin(1, 2, 3)).select(
+    qs = e.filter(F.col("vec_id").isin(1, 2, 3)).limit(3).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),

@@ -197,7 +197,9 @@ def simsearch_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     as simsearch_pq_assign."""
     emb = load(spark, sf_dir, "embeddings")
     cent = F.broadcast(
-        emb.filter(F.col("vec_id") < 8).select(
+        emb.filter(F.col("vec_id") < 8)
+        .limit(8)  # bounded codebook: provable build side for the loop join
+        .select(
             F.col("vec_id").alias("c_id"),
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cvec"),
         )
@@ -406,7 +408,7 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically (no rows → no centroid). The per-iteration argmin is a
     min-of-(d2, c_id)-struct aggregate, not a window sort."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < 8).select(
+    cent = emb.filter(F.col("vec_id") < 8).limit(8).select(
         F.col("vec_id").alias("c_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cvec"),
     )
@@ -450,6 +452,10 @@ def simsearch_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cvec")
             )
             .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+            # the checkpoint erases the plan's provable k-row bound
+            # (RDDScan is an opaque leaf); the limit reasserts it for the
+            # loop-join ban at zero cost (<= 8 rows by construction)
+            .limit(8)
         )
     return assign(cent).select(
         "vec_id",

@@ -160,6 +160,9 @@ _BOUNDING_PHYS = frozenset(
         "TakeOrderedAndProject",
         "CollectLimit",
         "Sample",
+        # literal driver-built rows (VALUES / createDataFrame constants):
+        # bounded by construction
+        "LocalTableScan",
     }
 )
 
@@ -171,6 +174,14 @@ def _bounded_phys(node) -> bool:
     name = node.nodeName()
     if name in _BOUNDING_PHYS:
         return True
+    if name == "Range":
+        # literal-bounds generator (spark.range / explode(sequence)):
+        # bounded by construction, but only trust SMALL ranges — a
+        # broadcast Range of 1e9 rows would be a real scale bug
+        try:
+            return int(node.numElements()) <= 10_000_000
+        except Exception:  # noqa: BLE001 — API drift: stay conservative
+            return False
     if name == "AdaptiveSparkPlan":
         return _bounded_phys(node.initialPlan())
     if name.startswith("InMemoryTableScan"):
@@ -201,6 +212,38 @@ def _bounded(node) -> bool:
     if k == 0:
         return False
     return all(_bounded(children.apply(i)) for i in range(k))
+
+
+def unbounded_loop_joins(df: DataFrame) -> list[str]:
+    """Nested-loop join shapes that do not scale (round-6 verdict item 6):
+
+    - ``CartesianProduct``: always flagged — an O(n*m) shuffle-side loop
+      join of two distributed relations has no 100 TB story.
+    - ``BroadcastNestedLoopJoin``: flagged unless the BUILD (broadcast)
+      side is provably bounded by an Aggregate/Limit/Sample somewhere on
+      every path — a broadcast of a 1-row total or a k-row centroid
+      frame compiles to exactly this shape and is fine; broadcasting an
+      arbitrary relation into a loop join is not.
+
+    Walks the pre-AQE physical plan (``sparkPlan``) so the node names are
+    stable, and reuses ``_bounded_phys`` (which already descends into
+    cached plans and AdaptiveSparkPlan wrappers) for the build side.
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+    bad: list[str] = []
+    for node in _walk_jplan(plan):
+        name = node.nodeName()
+        if name == "CartesianProduct":
+            bad.append(node.simpleString(25))
+        elif name == "BroadcastNestedLoopJoin":
+            build = (
+                node.children().apply(0)
+                if "BuildLeft" in str(node.buildSide())
+                else node.children().apply(1)
+            )
+            if not _bounded_phys(build):
+                bad.append(node.simpleString(25))
+    return bad
 
 
 def unbounded_global_windows(df: DataFrame) -> list[str]:

@@ -1401,6 +1401,62 @@ def test_ntile_histogram_twin_scale_safe(q):
     assert pi.unbounded_global_windows(df) == []
 
 
+# ---------------------------------------------------------------------------
+# Repo-wide nested-loop-join ban (round-7, per round-6 verdict item 6)
+# ---------------------------------------------------------------------------
+
+# Queries allowed to plan a BroadcastNestedLoopJoin whose build side the
+# detector cannot prove bounded. Each entry needs a reason; CartesianProduct
+# has NO allow-list — nothing may plan one.
+_LOOP_JOIN_ALLOWED = {
+    # the documented SQL-surface theta-join demo: its docstring prices the
+    # BNLJ cost explicitly and points to join_range_banded as the scale path
+    "join_theta_range",
+    # the documented CROSS JOIN surface demo: an explicit 5x5 cartesian of
+    # the two dimension tables ("crossJoin must be opted into") — the
+    # cartesian IS the declared semantics, both sides dimension-sized
+    "join_cross",
+}
+
+
+def test_detector_flags_unbounded_bnl_and_cartesian(spark):
+    """Negative cases: a cross join of two raw relations must flag (as
+    CartesianProduct without a broadcast, as BNLJ with one); a broadcast
+    of an AGGREGATE must not."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    na = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    assert pi.unbounded_loop_joins(li.crossJoin(F.broadcast(na))), (
+        "broadcast of a raw relation into a loop join must flag"
+    )
+    tiny = li.groupBy().agg(F.avg("l_quantity").alias("a"))
+    assert pi.unbounded_loop_joins(li.crossJoin(F.broadcast(tiny))) == [], (
+        "broadcast of a 1-row aggregate is the sanctioned shape"
+    )
+    cut = na.limit(5)
+    assert pi.unbounded_loop_joins(li.crossJoin(F.broadcast(cut))) == [], (
+        "broadcast of a Limit is bounded"
+    )
+
+
+def test_no_unbounded_loop_joins_repo_wide(q):
+    """No registered query may plan a CartesianProduct, or a
+    BroadcastNestedLoopJoin whose broadcast side is not provably bounded
+    by an Aggregate/Limit/Sample — the loop-join shapes with no 100 TB
+    story (round-6 verdict item 6). Broadcast crossJoins of 1-row totals
+    and k-row centroid/LUT frames compile to BNLJ over a bounded build
+    side and pass."""
+    offenders: dict[str, str] = {}
+    for key in QUERIES:
+        if key in _LOOP_JOIN_ALLOWED:
+            continue
+        hits = pi.unbounded_loop_joins(q(key))
+        if hits:
+            offenders[key] = hits[0][:200]
+    assert not offenders, offenders
+
+
 def test_borda_fusion_pre_cut(q):
     """Borda joins three TakeOrdered lists; no unbounded global window,
     no sort-merge join (three 20-row lists broadcast)."""

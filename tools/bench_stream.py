@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Streaming throughput/latency/state artifact (round-6 verdict item 5).
+
+The 15 stream_* keys are correctness-verified by replay oracles, but no
+artifact records what a capacity planner needs: rows/s, micro-batch
+latency, and state-store size — and whether state grows super-linearly
+with input. This tool drives every stream_* registry key at sf0.1 and at
+the 10x replica with a StreamingQueryListener attached, and aggregates
+each run's progress events into per-key metrics:
+
+- input_rows / n_batches / wall_sec / rows_per_sec
+- batch_ms_max (worst micro-batch duration reported by the engine)
+- state_rows_max / state_bytes_max (largest stateful-operator footprint)
+- x10 ratios for rows, wall, and state
+
+Usage: python tools/bench_stream.py OUT.json [sf_small] [sf_big]
+Defaults: sf_small=/root/testdata/sf0.1, sf_big=/tmp/scale/sf1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
+
+
+class _Collector(StreamingQueryListener):
+    """Buffers every progress event; the driver loop snapshots and clears
+    the buffer around each query so events attribute to the right key."""
+
+    def __init__(self) -> None:
+        self.events: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        try:
+            self.events.append(json.loads(event.progress.json))
+        except Exception:  # noqa: BLE001 — a dropped event only loses metrics
+            pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def _summarize(events: list[dict], wall: float) -> dict:
+    rows = sum(int(e.get("numInputRows", 0)) for e in events)
+    batch_ms = [
+        int(e.get("durationMs", {}).get("triggerExecution", 0)) for e in events
+    ]
+    srows = [
+        int(s.get("numRowsTotal", 0))
+        for e in events
+        for s in e.get("stateOperators", [])
+    ]
+    sbytes = [
+        int(s.get("memoryUsedBytes", 0))
+        for e in events
+        for s in e.get("stateOperators", [])
+    ]
+    return {
+        "wall_sec": round(wall, 3),
+        "input_rows": rows,
+        "n_batches": len(events),
+        "rows_per_sec": round(rows / wall) if wall > 0 else None,
+        "batch_ms_max": max(batch_ms) if batch_ms else 0,
+        "state_rows_max": max(srows) if srows else 0,
+        "state_bytes_max": max(sbytes) if sbytes else 0,
+    }
+
+
+def run_pass(spark, keys, qs, sf_dir: str, coll: _Collector) -> dict:
+    out: dict[str, dict] = {}
+    for k in keys:
+        coll.events.clear()
+        t0 = time.monotonic()
+        try:
+            qs[k](spark, sf_dir).count()  # materialize the sink contents
+            wall = time.monotonic() - t0
+            time.sleep(1.5)  # listener thread drains asynchronously
+            out[k] = _summarize(list(coll.events), wall)
+        except Exception as ex:  # noqa: BLE001
+            out[k] = {"error": str(ex).split("\n", 1)[0][:120]}
+        spark.catalog.clearCache()
+        print(f"{sf_dir} {k}: {out[k]}", flush=True)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit("usage: bench_stream.py OUT.json [sf_small] [sf_big]")
+    target = sys.argv[1]
+    sf_small = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sf_big = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale/sf1"
+
+    from c2_duckdb_runner_spark import session as session_mod
+    import __spark_entry__ as e
+
+    spark = session_mod.get_spark(app_name="c2-spark-bench-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    keys = sorted(k for k in qs if k.startswith("stream_"))
+
+    coll = _Collector()
+    spark.streams.addListener(coll)
+    # warm-up: JVM + state-store + python-worker init off the first sample
+    qs[keys[0]](spark, sf_small).count()
+
+    small = run_pass(spark, keys, qs, sf_small, coll)
+    big = run_pass(spark, keys, qs, sf_big, coll)
+
+    queries = {}
+    for k in keys:
+        s, b = small.get(k, {}), big.get(k, {})
+        ent = {"sf01": s, "sf1": b}
+        if "error" not in s and "error" not in b:
+            for f in ("input_rows", "wall_sec", "state_rows_max"):
+                a, bb = s.get(f) or 0, b.get(f) or 0
+                ent[f"{f}_x10"] = round(bb / a, 2) if a else None
+            # a stateful op whose state grows faster than its input is the
+            # unbounded-state smell this artifact exists to catch
+            if (
+                s.get("state_rows_max")
+                and (ent.get("state_rows_max_x10") or 0)
+                > 2 * (ent.get("input_rows_x10") or 1)
+            ):
+                ent["note"] = "state grows super-linearly vs input"
+        queries[k] = ent
+
+    out = {
+        "what": (
+            "Streaming family throughput/latency/state artifact (verdict "
+            "r06 item 5): every stream_* key driven availableNow at sf0.1 "
+            "and the 10x replica with a StreamingQueryListener; per-key "
+            "rows/s, worst micro-batch ms, and max state-store footprint, "
+            "with x10 ratios. State bounded by window/key cardinality "
+            "should grow ~1x; input-proportional state is flagged."
+        ),
+        "method": {
+            "trigger": "availableNow",
+            "shuffle_partitions_during_stream": 8,
+            "warmup": "first key once at sf0.1, untimed",
+            "sink": "memory (parquet for the two parquet-sink keys)",
+        },
+        "queries": queries,
+    }
+    with open(os.path.join(REPO, target), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {target}: {len(keys)} stream keys")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

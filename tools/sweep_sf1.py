@@ -59,6 +59,16 @@ def main() -> None:
     keys = sys.argv[3:] or sorted(pick_keys(oracles))
 
     con = duckdb.connect()
+    # share the host with a 32 GiB Spark JVM: cap DuckDB's memory and give
+    # it a spill directory, or big-window oracles (e.g. RAKE's per-run
+    # list() over 6e8 tokens) die with "Failed to allocate block" instead
+    # of going out-of-core
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '40GB')}'"
+    )
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET threads=16")  # don't stack 32 duck threads on the JVM's
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written dataset directory
@@ -74,7 +84,19 @@ def main() -> None:
     results: dict[str, dict] = {}
     n_pass = n_fail = 0
     t0 = time.time()
-    for k in keys:
+    # Long single-session sweeps at big scale factors accumulate dead
+    # localCheckpoint RDD blocks (ContextCleaner reclaims them only after
+    # the Python refs are GC'd, asynchronously) until the fixed heap is
+    # sick and UNRELATED keys start erroring — the round-7 sf10 run saw a
+    # correlated 4-key failure cluster right after a heavy key, all four
+    # green in a fresh session. Two mitigations: nudge both collectors
+    # every key, and recycle the session every N keys.
+    recycle = int(os.environ.get("SPARK_GRAFT_SWEEP_RECYCLE", "30"))
+    for i, k in enumerate(keys):
+        if i and recycle and i % recycle == 0:
+            spark.stop()
+            spark = session_mod.get_spark(app_name="c2-spark-sweep-sf1")
+            spark.sparkContext.setLogLevel("ERROR")
         t1 = time.time()
         ent: dict = {}
         try:
@@ -110,13 +132,20 @@ def main() -> None:
         results[k] = ent
         print(f"{'PASS' if ok else 'FAIL'} {k} ({ent['sec']}s)", flush=True)
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()  # release py refs so ContextCleaner can reclaim
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — best-effort heap hygiene
+            pass
 
     summary = {
         "what": (
-            "Round-6 10x-replica correctness sweep (verdict r05 item 3): "
-            "DuckDB differential on /tmp/scale/sf1 for every query whose "
-            "oracle does fixed-point integer arithmetic — the int64-"
-            "overflow failure family the sf0.1 sweeps cannot see."
+            f"Scaled-replica correctness sweep: DuckDB differential on "
+            f"{sf_dir} for queries whose oracle does fixed-point integer "
+            "arithmetic — the int64-overflow failure family the sf0.1 "
+            "sweeps cannot see."
         ),
         "sf_dir": sf_dir,
         "n_keys": len(keys),
