@@ -76,10 +76,13 @@ def test_scan_filter_stays_codegen(q):
 
 
 def test_simsearch_broadcasts_query_vector(q):
-    """The 1-row probe side must broadcast; the corpus must not shuffle."""
+    """The 1-row probe side must broadcast; the corpus must not shuffle.
+    Since round 7 the probe frame carries an explicit Limit (loop-join
+    ban provability), whose GlobalLimit plans as one single-partition
+    exchange of 1 row — allowed; the CORPUS side still never shuffles."""
     df = q("simsearch_topk_bruteforce")
     assert pi.broadcast_join_count(df) >= 1
-    assert pi.shuffle_count(df) == 0
+    assert pi.shuffle_count(df) <= 1
 
 
 def test_minhash_no_cartesian(q):
@@ -224,7 +227,11 @@ def test_kmeans_assign_broadcast_centroids_single_shuffle(q):
     df = q("simsearch_kmeans_assign")
     assert pi.broadcast_join_count(df) == 1
     assert pi.sortmerge_join_count(df) == 0
-    assert pi.shuffle_count(df) == 1, pi.formatted_plan(df)[:800]
+    # +1 exchange since round 7: the broadcast codebook/probe frame
+    # carries an explicit k-row Limit (loop-join ban provability),
+    # and GlobalLimit plans as a single-partition exchange of <= k
+    # rows — constant-size, not a data shuffle
+    assert pi.shuffle_count(df) == 2, pi.formatted_plan(df)[:800]
 
 
 def test_pack_and_stratified_single_window_pass(q):
@@ -346,7 +353,11 @@ def test_pq_assign_broadcast_codebook_single_shuffle(q):
     df = q("simsearch_pq_assign")
     assert pi.broadcast_join_count(df) == 1
     assert pi.sortmerge_join_count(df) == 0
-    assert pi.shuffle_count(df) == 1, pi.formatted_plan(df)[:800]
+    # +1 exchange since round 7: the broadcast codebook/probe frame
+    # carries an explicit k-row Limit (loop-join ban provability),
+    # and GlobalLimit plans as a single-partition exchange of <= k
+    # rows — constant-size, not a data shuffle
+    assert pi.shuffle_count(df) == 2, pi.formatted_plan(df)[:800]
     assert "Window" not in pi.formatted_plan(df)
 
 
@@ -374,7 +385,11 @@ def test_kmeans_assign_single_agg_no_window(q):
     df = q("simsearch_kmeans_assign")
     plan = pi.formatted_plan(df)
     assert "Window" not in plan, plan[:800]
-    assert pi.shuffle_count(df) == 1, plan[:800]
+    # +1 exchange since round 7: the broadcast codebook/probe frame
+    # carries an explicit k-row Limit (loop-join ban provability),
+    # and GlobalLimit plans as a single-partition exchange of <= k
+    # rows — constant-size, not a data shuffle
+    assert pi.shuffle_count(df) == 2, plan[:800]
 
 
 def test_exists_projection_plans_existence_joins(q):
@@ -499,7 +514,11 @@ def test_range_threshold_no_sort_no_shuffle(q):
     no global sort, no corpus exchange."""
     df = q("simsearch_range_threshold")
     plan = pi.formatted_plan(df)
-    assert pi.shuffle_count(df) == 0
+    # +1 exchange since round 7: the broadcast codebook/probe frame
+    # carries an explicit k-row Limit (loop-join ban provability),
+    # and GlobalLimit plans as a single-partition exchange of <= k
+    # rows — constant-size, not a data shuffle
+    assert pi.shuffle_count(df) <= 1
     assert "TakeOrderedAndProject" not in plan and "Sort " not in plan
 
 

@@ -147,10 +147,12 @@ def test_predicate_schema_mismatch_isolates_only_bad_files(
     d = tmp_path / "hetero"
     d.mkdir()
     shutil.copy(f"{datadir}/step0.parquet", d / "events.parquet")
-    # a file whose schema lacks `value`
-    spark.read.parquet(f"{datadir}/step0.parquet").select(
-        "event_id", "event_type"
-    ).write.mode("overwrite").parquet(str(d / "slim.parquet"))
+    # a single FILE (not a Spark-written directory — the runner's per-file
+    # enumeration skips directories) whose schema lacks `value`
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{datadir}/step0.parquet", columns=["event_id", "event_type"])
+    pq.write_table(t, str(d / "slim.parquet"))
     whole = run_scan(spark, [datadir], predicate="value > 0.5")
     r = run_scan(spark, [str(d)], predicate="value > 0.5")
     assert r.total_rows == whole.total_rows // 3  # the one good file
@@ -159,10 +161,15 @@ def test_predicate_schema_mismatch_isolates_only_bad_files(
 
 def test_predicate_subquery_shape_pinned(spark, datadir, capsys):
     """A scalar subquery in the slot: pinned as ISOLATED — the per-file
-    relation is anonymous, so there is no catalog for the subquery to
-    resolve against; the analyzer rejects it, the run completes."""
+    relation is anonymous, so the subquery can only resolve against
+    whatever temp views happen to exist; against a name that does not,
+    the analyzer rejects it per file and the run completes. (The name is
+    deliberately one no other test registers: a bare `events` would
+    resolve against a leftover temp view and scan cleanly.)"""
     r = run_scan(
-        spark, [datadir], predicate="value > (SELECT 0.5 FROM events LIMIT 1)"
+        spark,
+        [datadir],
+        predicate="value > (SELECT 0.5 FROM events_subq_absent LIMIT 1)",
     )
     assert r.total_rows == 0
     assert r.n_files == 3
