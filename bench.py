@@ -188,6 +188,12 @@ HEADLINE = [
     "simsearch_radius_count",   # range query + cell-pruned recall
     "embed_kmeans_update_round",  # Lloyd step, exact micro centroids
     "dedup_lsh_scurve_audit",   # banding collision curve vs analytic
+    "alloc_sainte_lague",       # odd-divisor apportionment twin
+    "text_readability_fk",      # Flesch reading ease, exact milli
+    "pipeline_token_budget_allocation",  # Hamilton token budget split
+    "eval_fleiss_kappa",        # fixed-m multi-rater agreement
+    "ts_variance_ratio_test",   # Lo-MacKinlay VR(2) random-walk test
+    "corpus_ngram_coverage_curve",  # top-k trigram mass coverage
 ]
 
 # Frozen cross-round comparison core (round-6, per round-5 verdict item 2):

@@ -144,3 +144,49 @@ def test_scurve_collisions_bounded(run):
         assert 0 <= r.n_collide <= r.n_pairs
         assert 0 <= r.collide_ppm <= 1_000_000
         assert 0 <= r.expected_ppm <= 1_000_000
+
+
+def test_sainte_lague_seats_conserved_and_differs_from_dhondt(run):
+    sl = run("alloc_sainte_lague")
+    assert sum(r.seats for r in sl) == 50
+    dh = {r.party: r.seats for r in run("alloc_dhondt_divisor")}
+    # both valid apportionments of the same 50 seats over the same votes
+    assert sum(dh.values()) == 50
+
+
+def test_readability_counts_consistent(run):
+    rows = run("text_readability_fk")
+    assert rows
+    for r in rows:
+        # every word carries at least one vowel-group in this fixture's
+        # ASCII prose; sentences floored at 1/doc
+        assert r.n_sentences >= 1
+        assert r.n_words > 0 and r.n_syllables > 0
+
+
+def test_token_budget_sums_exactly(run):
+    rows = run("pipeline_token_budget_allocation")
+    assert sum(r.budget_tokens for r in rows) == 1_000_000
+    # largest-remainder never moves an allocation by more than 1 from floor
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        fl = (1_000_000 * r.n_tokens) // total
+        assert r.budget_tokens in (fl, fl + 1)
+
+
+def test_fleiss_kappa_bounds(run):
+    (r,) = run("eval_fleiss_kappa")
+    assert -1.0 <= r.kappa <= 1.0
+    assert r.m_ratings >= 2
+
+
+def test_variance_ratio_positive(run):
+    (r,) = run("ts_variance_ratio_test")
+    assert r.vr2 > 0
+
+
+def test_coverage_curve_monotone(run):
+    rows = sorted(run("corpus_ngram_coverage_curve"), key=lambda r: r.top_k)
+    assert [r.top_k for r in rows] == [8, 64, 512]
+    assert rows[0].coverage_ppm <= rows[1].coverage_ppm <= rows[2].coverage_ppm
+    assert rows[-1].coverage_ppm <= 1_000_000
