@@ -376,7 +376,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ngram",
             "df",
-            F.expr("CAST(df * 1000000 div n_docs AS BIGINT)").alias(
+            F.expr("CAST(CAST(df AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)").alias(
                 "doc_share_ppm"
             ),
         )

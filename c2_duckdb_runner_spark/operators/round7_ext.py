@@ -505,7 +505,7 @@ agg AS (
   FROM s
 )
 SELECT n1, n2, m, n_true,
-       CAST((n1 * n2) // m AS BIGINT) AS lincoln_petersen,
+       CAST((n1 * n2) // greatest(m, 1) AS BIGINT) AS lincoln_petersen,
        CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS chapman,
        CAST((1000000 * abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_true))
             // n_true AS BIGINT) AS chapman_err_ppm
@@ -552,7 +552,8 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n1", "n2", "m", "n_true",
-        F.expr("CAST((n1 * n2) div m AS BIGINT)").alias("lincoln_petersen"),
+        F.expr("CAST((n1 * n2) div greatest(m, 1) AS BIGINT)").alias(
+            "lincoln_petersen"),
         F.expr(
             "CAST(((n1 + 1) * (n2 + 1)) div (m + 1) - 1 AS BIGINT)"
         ).alias("chapman"),

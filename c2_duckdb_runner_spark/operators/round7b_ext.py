@@ -354,7 +354,7 @@ def pipeline_rendezvous_sharding(
     return cnt.crossJoin(F.broadcast(tot)).select(
         "shard",
         "n_docs",
-        F.expr("CAST((1000000 * n_docs) div nt AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs) div nt AS BIGINT)").alias("share_ppm"),
         F.expr(
             f"CAST(abs((1000000 * n_docs) div nt"
             f" - {1_000_000 // _HRW_SHARDS}) AS BIGINT)"

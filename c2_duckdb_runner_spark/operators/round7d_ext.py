@@ -521,7 +521,8 @@ def corpus_ngram_coverage_curve(
             .cast("bigint")
             .alias("mass"),
             F.expr(
-                "CAST((1000000 * SUM(CASE WHEN rk <= k THEN c ELSE 0 END))"
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * SUM(CASE WHEN rk <= k THEN c ELSE 0 END))"
                 " div MIN(t) AS BIGINT)"
             ).alias("coverage_ppm"),
             F.min("vocab").cast("bigint").alias("vocab"),
