@@ -589,31 +589,38 @@ def graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTE chain (graph.py's PageRank recipe)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         nparts = spark.sparkContext.defaultParallelism
-    e_c = scratch_persist(edges.repartition(nparts, "c"))
-    e_s = scratch_persist(edges.repartition(nparts, "s"))
-    hubs = e_c.select("c").distinct().withColumn(
-        "h", F.lit(1_000_000).cast("bigint")
+    # One shuffle builds the deduped c-partitioned copy: HashPartitioning(c)
+    # satisfies the dedup aggregate's ClusteredDistribution((c, s)) by the
+    # subset rule, so dropDuplicates runs inside the standing partitioning
+    # (the old distinct-then-repartition paid two). The s-copy re-shuffles
+    # the slim PERSISTED edge list instead of re-running orders⨝lineitem.
+    e_c = scratch_persist(edges.repartition(nparts, "c").dropDuplicates())
+    e_s = scratch_persist(e_c.repartition(nparts, "s"))
+    # Round 1's authority half needs no join at all: every initial hub
+    # score is the constant 10⁶, so a1raw(s) = Σ_{c: edge(c,s)} 10⁶
+    # = 10⁶·indeg(s) — exactly the degree aggregate the output join needs
+    # anyway, computed once inside the standing s-partitioning (no
+    # shuffle) and reused for both. This drops the hub-init distinct and
+    # one edge-sized join+aggregate from the unroll; the oracle replays
+    # the identical algebra (its a1raw CTE sums the constant h0).
+    deg = scratch_persist(
+        e_s.groupBy("s").agg(F.count("*").cast("bigint").alias("indeg"))
     )
-    auth = None
-    for _ in range(_HITS_ROUNDS):
-        araw = (
-            e_c.join(hubs.hint("shuffle_hash"), "c")
-            .groupBy("s")
-            .agg(F.sum("h").cast("bigint").alias("a"))
-        )
-        amax = araw.agg(F.max("a").alias("amax"))
-        auth = araw.crossJoin(F.broadcast(amax)).select(
-            "s", F.expr("CAST((a * 1000000) div amax AS BIGINT)").alias("a")
-        )
+    araw = deg.select(
+        "s", (F.col("indeg") * F.lit(1_000_000)).cast("bigint").alias("a")
+    )
+    amax = araw.agg(F.max("a").alias("amax"))
+    auth = araw.crossJoin(F.broadcast(amax)).select(
+        "s", F.expr("CAST((a * 1000000) div amax AS BIGINT)").alias("a")
+    )
+    for _ in range(_HITS_ROUNDS - 1):
         hraw = (
             e_s.join(auth.hint("shuffle_hash"), "s")
             .groupBy("c")
@@ -623,7 +630,15 @@ def graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         hubs = hraw.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr("CAST((h * 1000000) div hmax AS BIGINT)").alias("h")
         )
-    deg = e_s.groupBy("s").agg(F.count("*").cast("bigint").alias("indeg"))
+        araw = (
+            e_c.join(hubs.hint("shuffle_hash"), "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        amax = araw.agg(F.max("a").alias("amax"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "s", F.expr("CAST((a * 1000000) div amax AS BIGINT)").alias("a")
+        )
     return (
         auth.join(deg.hint("shuffle_hash"), "s")
         .select(F.col("s").alias("supplier"), "indeg", F.col("a").alias("auth_micro"))
