@@ -149,27 +149,74 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full curve behind graph_degree_assortativity's single r (rising
     = assortative, falling = hub-and-spoke). knn in exact micro units.
 
-    Scale shape: the same decorate-each-edge-with-endpoint-degrees
-    double join as assortativity (degree relation is node-sized, joins
-    keyed), then ONE aggregate keyed by the degree CLASS — output is
-    degree-domain-sized. Cites graph.py _EDGES_SQL (``main.cc:181-182``
-    reach)."""
-    from c2_duckdb_runner_spark.operators.graph import _edges
+    Scale shape (round-8 rewrite after the matched-parallelism audit —
+    shuffle_x 16.84 persisted with AQE coalescing disabled, so it was a
+    real plan flip, not a task-count artifact: at 10× the node-degree
+    joins fall off the broadcast cliff to SMJs and re-shuffle the
+    SYMMETRIZED 2|E| edge list twice more): exploit the bipartite
+    structure instead of symmetrizing. The |E| (customer, supplier) pair
+    list is deduped INSIDE the standing c-partitioning (one shuffle, the
+    HITS subset-clustering recipe) and persisted; both per-side degree
+    relations are aggregates within that partitioning; the two
+    decoration joins run inside standing partitionings so no edge-sized
+    exchange beyond the one s-repartition; and because the customer and
+    supplier node spaces are disjoint, the per-degree-class distinct-node
+    counts of the forward and reverse edge orientations simply ADD — the
+    final merge is a degree-domain-sized aggregate. Zero broadcast
+    assumptions: the same plan (and the same shuffle bytes per row)
+    executes at any scale. Cites graph.py _EDGES_SQL / _OFFSET
+    (``main.cc:181-182`` reach)."""
+    from c2_duckdb_runner_spark.operators.graph import _OFFSET
+    from c2_duckdb_runner_spark.session import scratch_persist
 
-    edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
-    dec = edges.join(
-        deg.select(F.col("src"), F.col("d").alias("ds")), "src"
-    ).join(
-        deg.select(F.col("src").alias("dst"), F.col("d").alias("dd")), "dst"
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_OFFSET) + F.col("l_suppkey")).alias("s"),
+        )
+        .repartition(nparts, "c")
+        .dropDuplicates()
     )
-    return dec.groupBy(F.col("ds").alias("degree")).agg(
-        F.countDistinct("src").cast("bigint").alias("n_nodes"),
-        F.sum("dd").cast("bigint").alias("sum_nbr_deg"),
-        F.count("*").cast("bigint").alias("n_endpoints"),
-        F.expr(
-            "CAST((1000000 * SUM(dd)) div COUNT(*) AS BIGINT)"
-        ).alias("knn_micro"),
+    p = scratch_persist(pairs)
+    cdeg = p.groupBy("c").agg(F.count("*").cast("bigint").alias("dc"))
+    sdeg = p.groupBy("s").agg(F.count("*").cast("bigint").alias("ds_"))
+    dec = scratch_persist(
+        p.join(cdeg, "c").repartition(nparts, "s").join(sdeg, "s")
+    )
+    fwd = dec.groupBy(F.col("dc").alias("degree")).agg(
+        F.countDistinct("c").cast("bigint").alias("nn"),
+        F.sum("ds_").cast("bigint").alias("snd"),
+        F.count("*").cast("bigint").alias("ne"),
+    )
+    rev = dec.groupBy(F.col("ds_").alias("degree")).agg(
+        F.countDistinct("s").cast("bigint").alias("nn"),
+        F.sum("dc").cast("bigint").alias("snd"),
+        F.count("*").cast("bigint").alias("ne"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .groupBy("degree")
+        .agg(
+            F.sum("nn").cast("bigint").alias("n_nodes"),
+            F.sum("snd").cast("bigint").alias("sum_nbr_deg"),
+            F.sum("ne").cast("bigint").alias("n_endpoints"),
+        )
+        .select(
+            "degree",
+            "n_nodes",
+            "sum_nbr_deg",
+            "n_endpoints",
+            F.expr(
+                "CAST((1000000 * sum_nbr_deg) div n_endpoints AS BIGINT)"
+            ).alias("knn_micro"),
+        )
     )
 
 
