@@ -149,39 +149,68 @@ def simsearch_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded for the loop-join ban
         .limit(_MMR_POOL)
     )
-    sel = (
+    # Greedy loop as the repo's per-round 1-row argmax-collect pattern
+    # (k-center / k-means recipe): each round collects exactly ONE row from
+    # the 20-row checkpointed pool, and the already-selected vectors ride
+    # into the next round as driver-built array literals — max-sim is a
+    # greatest() over ≤ k−1 column expressions, so a round is one tiny
+    # map-only job with NO join (the round-7 k-row-Limit reasserts on the
+    # previous join formulation cost 8 single-partition exchanges per run,
+    # found by the round-8 bytes triage). The sequential part still
+    # touches k·pool rows total, never the corpus.
+    first = (
         pool.orderBy(F.desc("cosq"), F.asc("vec_id"))
         .limit(1)
-        .select(
-            "vec_id", F.lit(1).alias("sel_rank"), F.col("cosq").alias("mmr_score")
+        .select("vec_id", "cosq", "v", "nrm")
+        .collect()
+    )
+    picked: list = []  # (vec_id, rank, score, v, nrm)
+    if first:
+        r0 = first[0]
+        picked.append(
+            (r0["vec_id"], 1, float(r0["cosq"]), list(r0["v"]), float(r0["nrm"]))
         )
-    )
-    pair_cos = (
-        "aggregate(zip_with(v, sv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
-        "(a, b) -> a + b) / (nrm * snrm)"
-    )
     for r in range(2, _MMR_K + 1):
-        chosen = pool.join(sel.select("vec_id"), "vec_id", "semi").select(
-            F.col("v").alias("sv"), F.col("nrm").alias("snrm")
-        )
-        scored = (
-            pool.join(sel.select("vec_id"), "vec_id", "anti")
-            .crossJoin(F.broadcast(chosen))
-            .withColumn("sim", F.expr(pair_cos))
-            .groupBy("vec_id", "cosq")
-            .agg(F.max("sim").alias("max_sim"))
-            .withColumn("score", (F.col("cosq") - F.col("max_sim")) / 2)
-        )
-        nxt = (
-            scored.orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(1)
-            .select(
-                "vec_id",
-                F.lit(r).alias("sel_rank"),
-                F.col("score").alias("mmr_score"),
+        if not picked:
+            break
+        sims = [
+            F.aggregate(
+                F.zip_with(F.col("v"), F.lit(sv), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, b: a + b,
             )
+            / (F.col("nrm") * F.lit(snrm))
+            for (_, _, _, sv, snrm) in picked
+        ]
+        max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        cand = (
+            pool.filter(~F.col("vec_id").isin([p[0] for p in picked]))
+            .withColumn("score", (F.col("cosq") - max_sim) / 2)
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "score", "v", "nrm")
+            .collect()
         )
-        sel = sel.union(nxt)
+        if not cand:
+            break
+        c0 = cand[0]
+        picked.append(
+            (c0["vec_id"], r, float(c0["score"]), list(c0["v"]), float(c0["nrm"]))
+        )
+    sel = None
+    for vid, rank, score, _, _ in picked:
+        row = spark.range(1).select(
+            F.lit(int(vid)).cast("bigint").alias("vec_id"),
+            F.lit(rank).alias("sel_rank"),
+            F.lit(score).cast("double").alias("mmr_score"),
+        )
+        sel = row if sel is None else sel.union(row)
+    if sel is None:
+        sel = spark.range(0).select(
+            F.col("id").alias("vec_id"),
+            F.lit(1).alias("sel_rank"),
+            F.lit(0.0).alias("mmr_score"),
+        )
     return sel
 
 
