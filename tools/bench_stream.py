@@ -79,6 +79,70 @@ def _summarize(events: list[dict], wall: float) -> dict:
     }
 
 
+# 100 TB design point (round-7 verdict ask #8): for every key that holds
+# KEYED state, the bound as a function of watermark horizon x key arrival
+# rate, and the state-store provider it runs on. Window-agg keys hold
+# O(#open windows) and are omitted — their bound is the window count, not
+# a key-cardinality product. Eviction-at-watermark is pinned by
+# tests/test_invariants_r8.py::test_watermark_evicts_state.
+STATE_BOUNDS = {
+    "stream_dedup": {
+        "state_bound": (
+            "one state row per distinct (user_id, event_type) whose last "
+            "sighting is within the 30-min watermark horizon: rows ~= "
+            "horizon x new-key arrival rate; dropDuplicatesWithinWatermark "
+            "evicts a key once the watermark passes its event time"
+        ),
+        "provider": "HDFSBackedStateStore (session default)",
+        "evicted_by_watermark": True,
+    },
+    "stream_session_window": {
+        "state_bound": (
+            "one open session per user active within gap+horizon: rows ~= "
+            "(gap + watermark delay) x session arrival rate; a session is "
+            "flushed and its state dropped when the watermark passes "
+            "session_end"
+        ),
+        "provider": "HDFSBackedStateStore (session default)",
+        "evicted_by_watermark": True,
+    },
+    "stream_stateful_counts": {
+        "state_bound": (
+            "one bigint per distinct user_id EVER seen — a running counter "
+            "is cumulative by semantics (GroupStateTimeout.NoTimeout), so "
+            "state = |distinct keys|, NOT horizon-bounded; a production "
+            "deployment bounds it with ProcessingTimeTimeout/TTL eviction "
+            "or periodic state compaction to a table"
+        ),
+        "provider": "HDFSBackedStateStore (session default)",
+        "evicted_by_watermark": False,
+    },
+    "stream_stream_interval_join": {
+        "state_bound": (
+            "each side buffers rows still joinable under the event-time "
+            "bound: rows ~= arrival rate x (watermark delay + 7-day join "
+            "interval) per side; a row is evicted once the other side's "
+            "watermark passes its latest match time"
+        ),
+        "provider": "HDFSBackedStateStore (session default)",
+        "evicted_by_watermark": True,
+    },
+    "stream_transform_with_state": {
+        "state_bound": (
+            "one (count, sum) ValueState per distinct user_id — cumulative "
+            "by semantics (timeMode None), state = |distinct keys|; the "
+            "transformWithState API exposes per-state TTL for bounding it "
+            "in production"
+        ),
+        "provider": (
+            "RocksDBStateStoreProvider (pinned by the query; "
+            "applyInPandasWithState fallback uses the session default)"
+        ),
+        "evicted_by_watermark": False,
+    },
+}
+
+
 def run_pass(spark, keys, qs, sf_dir: str, coll: _Collector) -> dict:
     out: dict[str, dict] = {}
     for k in keys:
@@ -135,6 +199,8 @@ def main() -> None:
                 > 2 * (ent.get("input_rows_x10") or 1)
             ):
                 ent["note"] = "state grows super-linearly vs input"
+        if k in STATE_BOUNDS:
+            ent.update(STATE_BOUNDS[k])
         queries[k] = ent
 
     out = {

@@ -58,6 +58,17 @@ def main() -> None:
     qs, oracles = e.queries(), e.oracle_sql()
     keys = sys.argv[3:] or sorted(pick_keys(oracles))
 
+    # SPARK_GRAFT_STAGED=1 routes keys with a disk-bounded staged oracle
+    # (tools/oracle_staged.py — the 4 iterative-graph keys whose monolithic
+    # unrolled-CTE oracle spills past free disk at 100x) through the staged
+    # form; --check proves staged == monolithic at small SF, so the
+    # differential stays exact.
+    staged: dict = {}
+    if os.environ.get("SPARK_GRAFT_STAGED"):
+        from tools.oracle_staged import STAGED_ORACLES, run_staged
+
+        staged = dict(STAGED_ORACLES)
+
     con = duckdb.connect()
     # share the host with a 32 GiB Spark JVM: cap DuckDB's memory and give
     # it a spill directory, or big-window oracles (e.g. RAKE's per-run
@@ -101,7 +112,11 @@ def main() -> None:
         ent: dict = {}
         try:
             spdf = qs[k](spark, sf_dir).toPandas()
-            opdf = con.execute(oracles[k]).fetchdf()
+            if k in staged:
+                opdf = run_staged(k, sf_dir)
+                ent["oracle"] = "staged (tools/oracle_staged.py)"
+            else:
+                opdf = con.execute(oracles[k]).fetchdf()
             ent["spark_rows"] = len(spdf)
             ent["oracle_rows"] = len(opdf)
             ent["rows_match"] = len(spdf) == len(opdf)
