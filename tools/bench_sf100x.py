@@ -82,7 +82,15 @@ def main() -> None:
             "sec_sf10": round(t10, 3),
             "wall_x10": round(t10 / t1, 2) if t1 else None,
         }
-        for f, name in (("sw", "shuffle_write"), ("in", "input"), ("ph", "peak_heap")):
+        for f, name in (
+            ("sw", "shuffle_write"),
+            ("in", "input"),
+            ("ph", "peak_heap"),
+            # spill evidence (verdict r07 ask #2): a peak heap sitting on
+            # the JVM ceiling is benign iff these stay ~0
+            ("ms", "mem_spill"),
+            ("ds", "disk_spill"),
+        ):
             a, b = m1.get(f, 0), m10.get(f, 0)
             ent[f"{name}_sf1"] = a
             ent[f"{name}_sf10"] = b
