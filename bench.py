@@ -194,6 +194,19 @@ HEADLINE = [
     "eval_fleiss_kappa",        # fixed-m multi-rater agreement
     "ts_variance_ratio_test",   # Lo-MacKinlay VR(2) random-walk test
     "corpus_ngram_coverage_curve",  # top-k trigram mass coverage
+    # round-8 additions
+    "graph_local_clustering_topk",  # per-node triangle density
+    "alloc_water_filling",      # max-min fair progressive filling
+    "window_rolling_ols_slope",  # windowed exact-rational OLS trend
+    "sample_systematic_cumweight",  # PPS systematic, 2-phase prefix sum
+    "ts_ar1_phi_ppm",           # lag-1 autoregression per series
+    "eval_psi_population_stability",  # scorecard drift index
+    "stream_topk_per_window",   # windowed leaderboard (stream + rank)
+    "text_char_bigram_entropy",  # per-doc gibberish/boilerplate screen
+    "stats_cvm_two_sample",     # integral-statistic drift twin of KS
+    "privacy_dp_sensitivity_audit",  # Linf/L0/L1 contribution bounds
+    "corpus_growth_dedup_curve",  # acquisition marginal-novelty curve
+    "embed_pq_codebook_update",  # per-subspace PQ Lloyd round
 ]
 
 # Frozen cross-round comparison core (round-6, per round-5 verdict item 2):

@@ -175,6 +175,7 @@ def _load_all_modules() -> None:
     import c2_duckdb_runner_spark.operators.round7d_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.round8_ext  # noqa: F401
     import c2_duckdb_runner_spark.operators.round8b_ext  # noqa: F401
+    import c2_duckdb_runner_spark.operators.round8c_ext  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
