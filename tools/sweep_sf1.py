@@ -146,6 +146,10 @@ def main() -> None:
         n_fail += not ok
         results[k] = ent
         print(f"{'PASS' if ok else 'FAIL'} {k} ({ent['sec']}s)", flush=True)
+        # incremental checkpoint: a crash (the r08 sweep lost 117 keys to
+        # a thread-exhaustion abort) must never lose completed results
+        with open(os.path.join(REPO, out_path) + ".partial", "w") as fh:
+            json.dump(results, fh, indent=1)
         spark.catalog.clearCache()
         import gc
 
@@ -171,6 +175,9 @@ def main() -> None:
     }
     with open(os.path.join(REPO, out_path), "w") as fh:
         json.dump(summary, fh, indent=1)
+    partial = os.path.join(REPO, out_path) + ".partial"
+    if os.path.exists(partial):
+        os.remove(partial)
     print(
         f"wrote {out_path}: {n_pass} pass / {n_fail} fail of {len(keys)}",
         flush=True,
