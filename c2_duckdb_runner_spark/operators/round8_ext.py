@@ -43,12 +43,18 @@ from c2_duckdb_runner_spark.tables import load
 # ---------------------------------------------------------------------------
 
 _LCC_TOP = 20
+_LCC_BACKBONE = 5000
 
 _LCC_ORACLE = f"""
-WITH e AS (
-  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+WITH w AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, CAST(COUNT(*) AS BIGINT) AS w
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT s1, s2 FROM w
+  ORDER BY w DESC, s1 ASC, s2 ASC LIMIT {_LCC_BACKBONE}
 ),
 deg AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS d
@@ -76,35 +82,44 @@ ORDER BY lcc_ppm DESC, node ASC LIMIT {_LCC_TOP}
 
 @register("graph_local_clustering_topk", oracle=_LCC_ORACLE)
 def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Local clustering coefficient per node on the supplier co-order
-    graph: lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) in exact integer ppm, where
-    T(v) counts triangles through v — top-{_LCC_TOP} most clustered
-    suppliers with degree ≥ 2. graph_triangle_count reports the GLOBAL
-    triangle count; the per-node version is what community detection and
-    spam-node screening actually read.
+    f"""Local clustering coefficient per node on the TOP-SUPPORT BACKBONE
+    of the supplier co-order graph: keep the {_LCC_BACKBONE} strongest
+    edges by co-occurrence count (total (w, s1, s2) tiebreak — the
+    standard backbone extraction for dense co-occurrence networks), then
+    lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) in exact integer ppm over that
+    subgraph, top-{_LCC_TOP} with degree ≥ 2. graph_triangle_count
+    reports the GLOBAL triangle count on the full graph (a streaming
+    SUM, never materialized); per-node counts require LISTING each
+    triangle's 3 node credits, and this fixture's raw co-order graph is
+    a near-clique (measured 91% dense at sf0.1: ~1.2e8 triangles per
+    replica copy, ~1e10 at 100x) — the first round-8 formulation
+    exploded exactly that and filled the disk at the 100x replica. The
+    backbone fence is therefore part of the DECLARED semantics (the
+    jaccard _DEG_CAP discipline): triangle work is bounded by the
+    constant backbone size at ANY corpus scale, while the one
+    input-sized operation left is the support aggregate.
 
-    Scale shape: the same degree-ordered orientation as
-    graph_triangle_count (graph.py:358) — each edge is oriented toward
-    the higher (degree, id) endpoint, so out-degrees are √(2|E|)-bounded
-    and the per-edge adjacency intersection never materializes a
-    quadratic wedge. The per-NODE extension: each base edge's common
-    out-neighborhood EXPLODES into its triangle triples (3 node mentions
-    per triangle — output-bounded, the quantity we must count anyway)
-    and one hash aggregate counts mentions per node. The oracle replays
-    triangles with the rank-ordered 3-way self-join instead (exact same
-    triangle set, each {{x<y<z}} found once)."""
+    Scale shape: per-order pair expansion (bounded by lines-per-order²)
+    -> one (s1, s2)-keyed count -> TakeOrdered {_LCC_BACKBONE} ->
+    everything downstream (degrees, oriented intersection, credit
+    explode, top-k) runs on the broadcastable constant-size backbone."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = scratch_persist(
+    w = (
         li.alias("a")
         .join(
             li.alias("b"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
         )
-        .distinct()
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    pairs = scratch_persist(
+        w.orderBy(F.desc("w"), F.asc("s1"), F.asc("s2"))
+        .limit(_LCC_BACKBONE)
+        .select("s1", "s2")
     )
     deg = scratch_persist(
         pairs.select(F.col("s1").alias("v"))
@@ -112,47 +127,24 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
-    oriented = (
-        pairs.join(deg.withColumnRenamed("v", "s1").withColumnRenamed("d", "d1"), "s1")
-        .join(deg.withColumnRenamed("v", "s2").withColumnRenamed("d", "d2"), "s2")
-        .select(
-            F.when(
-                (F.col("d1") < F.col("d2"))
-                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
-                F.struct(F.col("s1").alias("src"), F.col("s2").alias("dst")),
-            )
-            .otherwise(F.struct(F.col("s2").alias("src"), F.col("s1").alias("dst")))
-            .alias("e")
-        )
-        .select("e.src", "e.dst")
-        .localCheckpoint(eager=True)
-    )
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nb")
-    )
+    # backbone is constant-size: the rank-ordered 3-way self-join (each
+    # triangle x<y<z found exactly once) is broadcast-joined and cheap —
+    # no orientation machinery needed below the fence
+    e1 = pairs.select(F.col("s1").alias("x"), F.col("s2").alias("y"))
+    e2 = pairs.select(F.col("s1").alias("y2"), F.col("s2").alias("z2"))
+    e3 = pairs.select(F.col("s1").alias("x3"), F.col("s2").alias("z3"))
     tri = (
-        oriented.join(adj.withColumnRenamed("src", "u"), F.col("src") == F.col("u"))
-        .withColumnRenamed("nb", "nbu")
+        e1.join(F.broadcast(e2), F.col("y") == F.col("y2"))
         .join(
-            adj.withColumnRenamed("src", "w").withColumnRenamed("nb", "nbw"),
-            F.col("dst") == F.col("w"),
-            "left",
+            F.broadcast(e3),
+            (F.col("x") == F.col("x3")) & (F.col("z2") == F.col("z3")),
         )
-        .select(
-            "src",
-            "dst",
-            F.explode(
-                F.array_intersect(
-                    F.col("nbu"),
-                    F.coalesce(F.col("nbw"), F.expr("CAST(array() AS ARRAY<BIGINT>)")),
-                )
-            ).alias("c"),
-        )
+        .select("x", "y", F.col("z2").alias("z"))
     )
     tn = (
-        tri.select(F.col("src").alias("v"))
-        .union(tri.select(F.col("dst").alias("v")))
-        .union(tri.select(F.col("c").alias("v")))
+        tri.select(F.col("x").alias("v"))
+        .union(tri.select(F.col("y").alias("v")))
+        .union(tri.select(F.col("z").alias("v")))
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("t"))
     )

@@ -343,11 +343,127 @@ LIMIT {_JAC_TOP}""",
     )
 
 
+# ---------------------------------------------------------------------------
+# graph_rich_club (paired_metrics_ext.py:119 — the monolithic oracle holds
+# pairs + symmetrized edges + the degree-annotated edge relation in temp at
+# once and spilled past free disk at 100x in the round-8 sweep)
+# ---------------------------------------------------------------------------
+
+_RC_KS = (2, 4, 8, 16)
+
+
+def staged_rich_club(sf_dir: str, work: str):
+    _stage_cs(sf_dir, work)
+    _stage(
+        sf_dir,
+        work,
+        "rc_deg",
+        f"SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d "
+        f"FROM ({_EDGES_OVER_CS}) GROUP BY 1",
+    )
+    # all four thresholds as conditional sums in ONE pass over the edge
+    # list joined to the staged degree relation — the row-level annotated
+    # edge relation never materializes
+    m_exprs = ", ".join(
+        f"CAST(SUM(CASE WHEN ds.d > {k} AND dd.d > {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS m{k}"
+        for k in _RC_KS
+    )
+    _stage(
+        sf_dir,
+        work,
+        "rc_m",
+        f"SELECT {m_exprs} FROM cs p "
+        "JOIN rc_deg ds ON ds.v = p.c "
+        f"JOIN rc_deg dd ON dd.v = {_OFFSET} + p.s",
+    )
+    n_exprs = ", ".join(
+        f"CAST(SUM(CASE WHEN d > {k} THEN 1 ELSE 0 END) AS BIGINT) AS n{k}"
+        for k in _RC_KS
+    )
+    _stage(sf_dir, work, "rc_n", f"SELECT {n_exprs} FROM rc_deg")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS k, n{k} AS n_k, m{k} AS m_k "
+        "FROM rc_m, rc_n"
+        for k in _RC_KS
+    )
+    return _fetch(
+        sf_dir,
+        work,
+        f"""SELECT k, n_k, m_k,
+  CAST(CASE WHEN n_k >= 2 THEN (10000*2*m_k) // (n_k*(n_k-1)) ELSE 0 END
+       AS BIGINT) AS phi_bp
+FROM ({rows})""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_local_clustering_topk (round8_ext.py — the monolithic oracle's
+# full-width lineitem self-join + 45M-group support aggregate spills past
+# free disk at 100x; staged: prune columns first, then aggregate, then the
+# constant-size backbone does everything else)
+# ---------------------------------------------------------------------------
+
+_LCC_BACKBONE = 5000
+_LCC_TOP = 20
+
+
+def staged_lcc(sf_dir: str, work: str):
+    _stage(
+        sf_dir, work, "lcc_li",
+        "SELECT l_orderkey, l_suppkey FROM lineitem",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "lcc_w",
+        "SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM lcc_li a JOIN lcc_li b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey "
+        "GROUP BY 1, 2",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "lcc_e",
+        f"SELECT s1, s2 FROM lcc_w "
+        f"ORDER BY w DESC, s1 ASC, s2 ASC LIMIT {_LCC_BACKBONE}",
+    )
+    return _fetch(
+        sf_dir,
+        work,
+        f"""WITH deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT s1 AS v FROM lcc_e UNION ALL SELECT s2 FROM lcc_e) GROUP BY v
+),
+tri AS (
+  SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+  FROM lcc_e e1 JOIN lcc_e e2 ON e2.s1 = e1.s2
+  JOIN lcc_e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+tn AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY v
+)
+SELECT CAST(deg.v AS BIGINT) AS node, deg.d AS degree,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_tri,
+       CAST(2 * COALESCE(tn.t, 0) * 1000000 // (deg.d * (deg.d - 1))
+            AS BIGINT) AS lcc_ppm
+FROM deg LEFT JOIN tn ON tn.v = deg.v
+WHERE deg.d >= 2
+ORDER BY lcc_ppm DESC, node ASC LIMIT {_LCC_TOP}""",
+    )
+
+
 STAGED_ORACLES = {
     "graph_bfs_multisource": staged_bfs,
     "graph_ppr_seed_teleport": staged_ppr,
     "graph_hits_rounds": staged_hits,
     "graph_jaccard_neighbor_sim": staged_jaccard,
+    "graph_rich_club": staged_rich_club,
+    "graph_local_clustering_topk": staged_lcc,
 }
 
 
