@@ -1,15 +1,15 @@
 #!/usr/bin/env python
-"""Disk-bounded STAGED DuckDB oracles for the iterative-graph keys
-(round-7 verdict ask #1).
+"""Disk-bounded STAGED DuckDB oracles for the graph keys whose monolithic
+oracles exceed one box at the 100x replica (round-7 verdict ask #1, plus
+two more keys the round-8 sweep caught: rich_club and the backbone LCC).
 
-The four keys below are the only registry entries whose 100x oracle never
-ran: their monolithic unrolled-CTE oracles hold the whole 6e8-row edge
-build plus every round's intermediate in DuckDB temp space at once and
-spill past the box's free disk (CORRECTNESS_sf10_r07.json, IO errors
-preserved). The operators themselves are fine at 100x — the Spark side is
-round-staged by construction — so this tool re-expresses each ORACLE as
-the same algebra executed as a SEQUENCE of bounded DuckDB queries with
-parquet intermediates on disk:
+These keys' monolithic oracles hold the whole 6e8-row edge build plus
+every round's intermediate in DuckDB temp space at once and spill past
+the box's free disk (CORRECTNESS_sf10_r07.json, IO errors preserved). The
+operators themselves are fine at 100x — the Spark side is round-staged by
+construction — so this tool re-expresses each ORACLE as the same algebra
+executed as a SEQUENCE of bounded DuckDB queries with parquet
+intermediates on disk:
 
 - the shared edge build (``SELECT DISTINCT o_custkey, l_suppkey FROM
   orders JOIN lineitem``) is materialized ONCE as ``cs.parquet`` and read
