@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.tables import load
 
 _D38 = "DECIMAL(38,0)"
@@ -739,8 +739,7 @@ FROM top GROUP BY party
 
 
 @register("alloc_dhondt_divisor", oracle=_DHONDT_ORACLE)
-def alloc_dhondt_divisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""D'Hondt divisor apportionment of {_DHONDT_SEATS} "seats" (budget
+@fdoc(f"""D'Hondt divisor apportionment of {_DHONDT_SEATS} "seats" (budget
     units) across nations by revenue — the divisor-method counterpart of
     alloc_largest_remainder's quota method (divisor methods are
     house-monotone; quota methods can suffer the Alabama paradox).
@@ -753,7 +752,8 @@ def alloc_dhondt_divisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson: equal quotients must land deterministically).
 
     Scale shape: party aggregate (bounded) -> explode {_DHONDT_SEATS}
-    divisors -> TakeOrdered over the bounded quotient list."""
+    divisors -> TakeOrdered over the bounded quotient list.""")
+def alloc_dhondt_divisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")

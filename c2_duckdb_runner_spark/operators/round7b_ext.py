@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.tables import load
 
 _D38 = "DECIMAL(38,0)"
@@ -322,10 +322,7 @@ FROM cnt, tot
 
 
 @register("pipeline_rendezvous_sharding", oracle=_HRW_ORACLE)
-def pipeline_rendezvous_sharding(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    f"""Rendezvous (highest-random-weight) sharding of documents into
+@fdoc(f"""Rendezvous (highest-random-weight) sharding of documents into
     {_HRW_SHARDS} shards + balance audit: each doc goes to the shard
     with the LARGEST md5(shard:doc) weight, so adding/removing one shard
     moves only ~1/{_HRW_SHARDS} of the corpus (mod-hash sharding moves
@@ -337,7 +334,10 @@ def pipeline_rendezvous_sharding(
     window.
 
     Scale shape: constant {_HRW_SHARDS}x explode (map-only) -> doc-keyed
-    max_by -> shard-keyed count; output is {_HRW_SHARDS} rows."""
+    max_by -> shard-keyed count; output is {_HRW_SHARDS} rows.""")
+def pipeline_rendezvous_sharding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     ex = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {_HRW_SHARDS - 1})")).alias("s"),
@@ -421,8 +421,7 @@ FROM arr
 
 
 @register("corpus_jsd_trigram_drift", oracle=_JSD_ORACLE)
-def corpus_jsd_trigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Jensen-Shannon divergence of each source's character-trigram
+@fdoc(f"""Jensen-Shannon divergence of each source's character-trigram
     distribution against the whole corpus — the SYMMETRIC, bounded
     ([0, ln 2]) drift monitor next to mixture_kl_divergence (KL blows up
     on unseen categories; JSD never does). The trigram domain is first
@@ -436,7 +435,8 @@ def corpus_jsd_trigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: trigram explode (map-only) -> pre-cut top-{_JSD_TOP}
     (TakeOrdered over the trigram aggregate) broadcast back -> bucketed
-    (source x bucket) aggregate (bounded cells) -> per-source fold."""
+    (source x bucket) aggregate (bounded cells) -> per-source fold.""")
+def corpus_jsd_trigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
         load(spark, sf_dir, "documents")
         .filter("length(text) >= 3")

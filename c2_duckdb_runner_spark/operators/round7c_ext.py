@@ -37,7 +37,7 @@ from c2_duckdb_runner_spark.operators.simsearch import (
     _QUERY_ID,
     _scored,
 )
-from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -66,8 +66,7 @@ FROM s
 
 
 @register("simsearch_radius_count", oracle=_RADIUS_ORACLE)
-def simsearch_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Range (radius) similarity search: how many corpus vectors sit
+@fdoc(f"""Range (radius) similarity search: how many corpus vectors sit
     within cosine >= {_RADIUS_TAU} of the probe — the range-query twin
     of top-k search and the primitive behind near-duplicate clustering
     ("everything this similar", not "the closest k"). Reports the exact
@@ -80,7 +79,8 @@ def simsearch_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one broadcast of the 1-row probe, map-only scoring,
     one global conditional-sum aggregate — zero corpus shuffle; on a
     real cluster the cell-restricted count reads 1/n_cells of the
-    corpus via partition pruning (simsearch_ivf_label's layout)."""
+    corpus via partition pruning (simsearch_ivf_label's layout).""")
+def simsearch_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         _scored(spark, sf_dir)
         .filter(F.col("vec_id") != _QUERY_ID)
@@ -162,8 +162,7 @@ GROUP BY newc.cell
 
 
 @register("embed_kmeans_update_round", oracle=_KMU_ORACLE)
-def embed_kmeans_update_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""One Lloyd iteration over the embedding corpus: assign every
+@fdoc(f"""One Lloyd iteration over the embedding corpus: assign every
     vector to its nearest of the {_KMU_CENTS} seed centroids (the same
     left-fold double distances as simsearch_ivf_multiprobe — bit-
     identical both engines), then RE-ESTIMATE each centroid and report
@@ -179,7 +178,8 @@ def embed_kmeans_update_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment shuffle), posexplode to (cell, dim) — a constant 64x
     map-only expansion — then ONE map-combining aggregate over k*64
     keys and a broadcast join against the old centroids. At 100 TB the
-    aggregate output is still k*64 rows."""
+    aggregate output is still k*64 rows.""")
+def embed_kmeans_update_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
@@ -313,8 +313,7 @@ FROM coll GROUP BY decile
 
 
 @register("dedup_lsh_scurve_audit", oracle=_sc_oracle())
-def dedup_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""LSH S-curve calibration: empirical collision probability of the
+@fdoc(f"""LSH S-curve calibration: empirical collision probability of the
     {_SC_BANDS}-band x {_SC_ROWS}-row banding over the {_OPH_K}-slot OPH
     signature, per EXACT-Jaccard decile, against the analytic
     1-(1-s^r)^b curve — the chart that decides a banding config BEFORE
@@ -328,7 +327,8 @@ def dedup_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shingle-blocked pair generation (never all-pairs),
     one signature aggregate per sampled doc, two broadcastable
-    signature joins, a 10-row decile reduce."""
+    signature joins, a 10-row decile reduce.""")
+def dedup_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs_spark(
         spark, sf_dir, thresh=0.0, sample_mod=_SC_SAMPLE_MOD
     )

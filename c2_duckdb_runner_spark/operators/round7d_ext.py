@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -205,10 +205,7 @@ FROM r, short
 
 
 @register("pipeline_token_budget_allocation", oracle=_BUDGET_ORACLE)
-def pipeline_token_budget_allocation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    f"""Split a {_BUDGET:,}-token sampling budget across sources
+@fdoc(f"""Split a {_BUDGET:,}-token sampling budget across sources
     proportional to token mass, integerized by the largest-remainder
     (Hamilton) rule so the allocations sum EXACTLY to the budget — the
     front door of every pretraining mixture recipe (temperature and
@@ -218,7 +215,10 @@ def pipeline_token_budget_allocation(
     +-1 deterministically.
 
     Scale shape: map-only token count, one source aggregate, windows
-    over the SOURCE-DOMAIN aggregate only."""
+    over the SOURCE-DOMAIN aggregate only.""")
+def pipeline_token_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     t = (
         load(spark, sf_dir, "documents")
         .select(
@@ -477,10 +477,7 @@ FROM r, tot, ks GROUP BY k
 
 
 @register("corpus_ngram_coverage_curve", oracle=_COV_ORACLE)
-def corpus_ngram_coverage_curve(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    f"""Vocabulary-truncation coverage: what share of the corpus's
+@fdoc(f"""Vocabulary-truncation coverage: what share of the corpus's
     trigram MASS do the top-{{{", ".join(str(k) for k in _COV_KS)}}}
     trigrams cover — the number a tokenizer/vocab design reads off
     before fixing a vocab size (Zipf mass concentrates fast; the curve
@@ -489,7 +486,10 @@ def corpus_ngram_coverage_curve(
 
     Scale shape: trigram explode (map-only) -> histogram aggregate ->
     ranking window over the VOCAB-sized aggregate (char-trigram vocab is
-    charset-bounded, not corpus-bounded) -> one bounded reduce per k."""
+    charset-bounded, not corpus-bounded) -> one bounded reduce per k.""")
+def corpus_ngram_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     tri = (
         load(spark, sf_dir, "documents")
         .filter("length(text) >= 3")

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.session import scratch_persist
 from c2_duckdb_runner_spark.tables import load
 
@@ -81,8 +81,7 @@ ORDER BY lcc_ppm DESC, node ASC LIMIT {_LCC_TOP}
 
 
 @register("graph_local_clustering_topk", oracle=_LCC_ORACLE)
-def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Local clustering coefficient per node on the TOP-SUPPORT BACKBONE
+@fdoc(f"""Local clustering coefficient per node on the TOP-SUPPORT BACKBONE
     of the supplier co-order graph: keep the {_LCC_BACKBONE} strongest
     edges by co-occurrence count (total (w, s1, s2) tiebreak — the
     standard backbone extraction for dense co-occurrence networks), then
@@ -102,7 +101,8 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-order pair expansion (bounded by lines-per-order²)
     -> one (s1, s2)-keyed count -> TakeOrdered {_LCC_BACKBONE} ->
     everything downstream (degrees, oriented intersection, credit
-    explode, top-k) runs on the broadcastable constant-size backbone."""
+    explode, top-k) runs on the broadcastable constant-size backbone.""")
+def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     w = (
         li.alias("a")
@@ -330,8 +330,7 @@ FROM w WHERE cnt = {_OLS_W}
 
 
 @register("window_rolling_ols_slope", oracle=_OLS_ORACLE)
-def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Rolling {_OLS_W}-day least-squares revenue trend per nation: the
+@fdoc(f"""Rolling {_OLS_W}-day least-squares revenue trend per nation: the
     OLS slope over the trailing window as an EXACT rational —
     slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = day index and
     y = revenue cents — reported as the (numerator, denominator) pair so
@@ -346,7 +345,8 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations at any scale factor. Cross products Σxy route through
     DECIMAL(38,0) ≙ HUGEINT (the repo's 128-bit rule: day-level national
     revenue in cents × a 4-digit day index overflows int64 within two
-    decades of scale)."""
+    decades of scale).""")
+def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice", "o_orderdate"
     )
@@ -426,8 +426,7 @@ WHERE c.cum // greatest(tot.tw // {_SYS_TARGET}, 1)
 
 
 @register("sample_systematic_cumweight", oracle=_SYS_ORACLE)
-def sample_systematic_cumweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Systematic PPS sampling by cumulative weight: lay the documents on
+@fdoc(f"""Systematic PPS sampling by cumulative weight: lay the documents on
     a line in doc_id order, each owning a segment of length n_chars, and
     pick the document under every step-th mass boundary
     (step = total_mass div {_SYS_TARGET}) — the textbook
@@ -445,7 +444,8 @@ def sample_systematic_cumweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulation is a bucket-partitioned window. The bucketed prefix sum
     equals the oracle's global window exactly (prefix-sum associativity).
     Selection is the pure-integer boundary-crossing predicate — no
-    division of signed values anywhere."""
+    division of signed values anywhere.""")
+def sample_systematic_cumweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("w")
     )
@@ -635,8 +635,7 @@ FROM arr
 
 
 @register("eval_psi_population_stability", oracle=_PSI_ORACLE)
-def eval_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Population Stability Index between the order-value distribution
+@fdoc(f"""Population Stability Index between the order-value distribution
     before and after {_PSI_SPLIT}: PSI = Σ (p_i − q_i)·ln(p_i/q_i) over
     {_PSI_BUCKETS} equal-width buckets (bounds from the POOLED min/max in
     exact integer cents, add-one smoothed so empty cells stay finite) —
@@ -649,7 +648,8 @@ def eval_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: one input-sized bucketing pass (bucket id is pure
     integer arithmetic against the broadcast 1-row min/max), one
-    {_PSI_BUCKETS}-cell aggregate, one bounded fold."""
+    {_PSI_BUCKETS}-cell aggregate, one bounded fold.""")
+def eval_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = scratch_persist(
         load(spark, sf_dir, "orders").select(
             F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.session import scratch_persist
 from c2_duckdb_runner_spark.tables import load
 
@@ -61,8 +61,7 @@ SELECT win_start_ms, event_type, n, CAST(rnk AS INT) AS rnk FROM (
 
 
 @register("stream_topk_per_window", oracle=_STK_ORACLE)
-def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Top-{_TOPK_K} event types per tumbling hour, streaming: the
+@fdoc(f"""Top-{_TOPK_K} event types per tumbling hour, streaming: the
     windowed counts run as a real micro-batch StreamingQuery (complete
     mode, the stream_tumbling drain), and the per-window rank runs as a
     bounded BATCH step over the flushed aggregate — ranking is not
@@ -73,7 +72,8 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: streaming state is (window × event_type)-bounded; the
     batch rank partitions by window over the aggregate (never row-level
-    data)."""
+    data).""")
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c2_duckdb_runner_spark.streaming.queries import (
         _events_stream,
         _run_to_memory,
@@ -137,8 +137,7 @@ ORDER BY entropy_nats ASC, doc_id ASC LIMIT {_ENT_TOP}
 
 
 @register("text_char_bigram_entropy", oracle=_ENT_ORACLE)
-def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Shannon entropy of each document's character-bigram distribution,
+@fdoc(f"""Shannon entropy of each document's character-bigram distribution,
     lowest-{_ENT_TOP} — the repetition/gibberish screen crawl-quality
     stacks run beside the Gopher token filters (low bigram entropy flags
     boilerplate padding and repeated-character spam that token-level
@@ -149,7 +148,8 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigram explode (map-only) → one (doc, bigram) hash
     aggregate → per-doc collect bounded by document length → TakeOrdered
-    k-row output. No corpus-wide state beyond the aggregate."""
+    k-row output. No corpus-wide state beyond the aggregate.""")
+def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         load(spark, sf_dir, "documents")
         .filter("length(text) >= 2")
@@ -229,8 +229,7 @@ FROM s
 
 
 @register("stats_cvm_two_sample", oracle=_CVM_ORACLE)
-def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Cramér-von Mises two-sample statistic between the '{_CVM_A}' and
+@fdoc(f"""Cramér-von Mises two-sample statistic between the '{_CVM_A}' and
     '{_CVM_B}' daily-revenue distributions: U = n·Σ(r_i−i)² + m·Σ(s_j−j)²
     over the pooled ranks, T = U/(nm(n+m)) − (4nm−1)/(6(n+m)), reported
     as the exact integer triple (U, T numerator, T denominator) over the
@@ -245,7 +244,8 @@ def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the rank windows run over the (group × day)-grid
     AGGREGATE — a relation bounded by the calendar at any scale factor —
     never over row-level events (the stats_kruskal_wallis discipline);
-    the one input-sized operation is the daily rollup."""
+    the one input-sized operation is the daily rollup.""")
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(_CVM_A, _CVM_B))
@@ -485,8 +485,7 @@ GROUP BY newc.s, newc.cell
 
 
 @register("embed_pq_codebook_update", oracle=_PQ_ORACLE)
-def embed_pq_codebook_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""One product-quantization TRAINING round: the 64-dim embeddings
+@fdoc(f"""One product-quantization TRAINING round: the 64-dim embeddings
     split into {_PQ_M} × {_PQ_SUBDIM}-dim subspaces, each subspace runs
     an independent Lloyd update against its {_PQ_K} seed centroids
     (subvectors of vec_id < {_PQ_K}), reporting per-(subspace, centroid)
@@ -503,7 +502,8 @@ def embed_pq_codebook_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a map-side argmin (array_min over a struct, no
     shuffle); the one aggregate is map-combining over
     {_PQ_M} × {_PQ_K} × {_PQ_SUBDIM} keys — constant output at any
-    corpus size."""
+    corpus size.""")
+def embed_pq_codebook_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),

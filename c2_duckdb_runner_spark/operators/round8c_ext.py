@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.session import scratch_persist
 from c2_duckdb_runner_spark.tables import load
 
@@ -68,10 +68,7 @@ FROM est, act
 
 
 @register("join_cardinality_histogram_estimate", oracle=_JCE_ORACLE)
-def join_cardinality_histogram_estimate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    f"""The cost-based optimizer's equi-width-histogram join-cardinality
+@fdoc(f"""The cost-based optimizer's equi-width-histogram join-cardinality
     estimate, audited against ground truth: bucket both join keys into
     {_JCE_B} equal-width ranges, estimate |lineitem ⨝ part| per bucket
     under the uniform-within-bucket assumption (cl·cp / width), and
@@ -83,7 +80,10 @@ def join_cardinality_histogram_estimate(
     Scale shape: two input-sized bucket aggregates ({_JCE_B} cells each),
     a {_JCE_B}-row join for the estimate, and the actual count's one
     equi-join — the thing being estimated is also the only big
-    operation."""
+    operation.""")
+def join_cardinality_histogram_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     mx = load(spark, sf_dir, "part").agg(
         F.max("p_partkey").cast("bigint").alias("mk")
     )
@@ -158,8 +158,7 @@ FROM p GROUP BY lag
 
 
 @register("ts_cross_corr_lead_lag", oracle=_XC_ORACLE)
-def ts_cross_corr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Lead-lag cross-covariance between the click and purchase daily
+@fdoc(f"""Lead-lag cross-covariance between the click and purchase daily
     revenue series: for each lag in −{_XC_MAXLAG}..+{_XC_MAXLAG}, the
     exact covariance numerator n·Σ(x_t·y_{{t+lag}}) − Σx·Σy over aligned
     day pairs — a positive peak at lag>0 means clicks LEAD purchases,
@@ -168,7 +167,8 @@ def ts_cross_corr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule); the n_pairs column makes the normalization explicit.
 
     Scale shape: two input-sized daily rollups, then all lag joins run
-    on the bounded day grid ({2 * _XC_MAXLAG + 1} small hash joins)."""
+    on the bounded day grid ({2 * _XC_MAXLAG + 1} small hash joins).""")
+def ts_cross_corr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
 
     def daily(et: str) -> DataFrame:
@@ -241,8 +241,7 @@ FROM asg GROUP BY 1
 
 
 @register("pipeline_shard_manifest", oracle=_SHM_ORACLE)
-def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""WebDataset-style shard manifest: documents in corpus order are
+@fdoc(f"""WebDataset-style shard manifest: documents in corpus order are
     packed into {_SHM_SHARDS} contiguous shards of ~equal TOKEN budget
     (tokens = n_chars div {_SHM_CHARS_PER_TOK}, the planning heuristic),
     shard_id = prefix_tokens div ceil(total/{_SHM_SHARDS}) — each shard
@@ -255,7 +254,8 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, a bounded window over the bucket aggregate, a
     bucket-partitioned window inside) — identical to the oracle's global
     window by prefix-sum associativity; then one {_SHM_SHARDS}-cell
-    aggregate."""
+    aggregate.""")
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(f"CAST(n_chars div {_SHM_CHARS_PER_TOK} AS BIGINT)").alias(
@@ -334,8 +334,7 @@ FROM cell
 
 
 @register("privacy_small_cell_suppression", oracle=_SCS_ORACLE)
-def privacy_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Small-cell suppression audit for the (nation × market segment)
+@fdoc(f"""Small-cell suppression audit for the (nation × market segment)
     customer release: the statistical-disclosure-control rule every
     census/health release applies — cells with fewer than k={_SCS_K}
     contributors are withheld. Reports how many cells and how much mass
@@ -346,7 +345,8 @@ def privacy_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFram
     release).
 
     Scale shape: one input-sized hash aggregate to the bounded cell
-    grid, one 1-row reduction."""
+    grid, one 1-row reduction.""")
+def privacy_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cell = (
@@ -501,8 +501,7 @@ ORDER BY n_reach DESC, seed ASC LIMIT {_THR_TOP}
 
 
 @register("graph_two_hop_reach_topk", oracle=_THR_ORACLE)
-def graph_two_hop_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Two-hop reach (friends-of-friends audience size) per seed: for
+@fdoc(f"""Two-hop reach (friends-of-friends audience size) per seed: for
     every {_THR_SEED_MOD}-th customer, the number of DISTINCT nodes
     within ≤2 hops on the bipartite trade graph (its suppliers, plus
     the other customers of those suppliers) — top-{_THR_TOP}.
@@ -515,7 +514,8 @@ def graph_two_hop_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one persisted edge list, and the distinct-count is a
     seed-keyed aggregate. The supplier-side fan-in (a popular
     supplier's full customer list) is the quantity being measured —
-    output-bounded work, the same justification as the wedge ops."""
+    output-bounded work, the same justification as the wedge ops.""")
+def graph_two_hop_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cs = scratch_persist(

@@ -48,6 +48,24 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def fdoc(text: str):
+    """Attach an import-time-formatted docstring.
+
+    An f-string literal in function-body position is NOT a docstring (the
+    interpreter evaluates and discards it on every call, leaving ``__doc__``
+    None). Operators whose documentation interpolates module constants
+    (fence sizes, window widths) pass the f-string here instead; it is
+    evaluated exactly once at import and becomes the real ``__doc__`` that
+    ``register`` records. Apply BELOW ``@register`` so it runs first.
+    """
+
+    def deco(fn):
+        fn.__doc__ = text
+        return fn
+
+    return deco
+
+
 def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add one queries()/oracle_sql() pair to the registry."""
 

@@ -82,9 +82,16 @@ def _connect(sf_dir: str, work: str) -> duckdb.DuckDBPyConnection:
                 )
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    # staged intermediates become views named after their file stem
+    # staged intermediates become views named after their file stem; a
+    # stem colliding with a base table would silently SHADOW it and
+    # corrupt every downstream staged query — fail loudly instead
     for p in sorted(glob.glob(os.path.join(work, "*.parquet"))):
         name = os.path.splitext(os.path.basename(p))[0]
+        if name in TABLES:
+            raise ValueError(
+                f"staged intermediate {p!r} would shadow base table "
+                f"{name!r}; rename the stage (e.g. stg_{name})"
+            )
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     return con
 

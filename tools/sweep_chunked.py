@@ -59,7 +59,18 @@ def run_chunk(
         res = json.load(open(full + ".partial"))
         os.remove(full + ".partial")
         for k in keys:
-            if k not in res:
+            if res.get(k, {}).get("started") and "hash_match" not in res[k]:
+                # the key checkpointed 'started' but never a result: this
+                # is the key that was RUNNING when the process died — the
+                # actual crash suspect, not merely a victim of ordering
+                res[k] = {
+                    "rows_match": False,
+                    "schema_match": False,
+                    "hash_match": False,
+                    "err": f"chunk process died (exit {proc.returncode}) "
+                    "WHILE running this key (crash suspect)",
+                }
+            elif k not in res:
                 res[k] = {
                     "rows_match": False,
                     "schema_match": False,

@@ -109,6 +109,11 @@ def main() -> None:
             spark = session_mod.get_spark(app_name="c2-spark-sweep-sf1")
             spark.sparkContext.setLogLevel("ERROR")
         t1 = time.time()
+        # 'started' marker BEFORE running the key: if this process dies
+        # mid-key, the harvester can distinguish the crash-causing key
+        # (checkpointed as started, no result) from never-run keys.
+        with open(os.path.join(REPO, out_path) + ".partial", "w") as fh:
+            json.dump({**results, k: {"started": True}}, fh, indent=1)
         ent: dict = {}
         try:
             spdf = qs[k](spark, sf_dir).toPandas()
