@@ -1,0 +1,674 @@
+"""Seeded predicate-fuzz generator for the arbitrary-filter slot.
+
+The reference's declared contract is an OPAQUE, user-supplied SQL boolean
+expression spliced into a file scan (``main.cc:164-169``, accepted at
+``main.cc:209,226``): ``SELECT * FROM '<file>' WHERE <anything>``. A
+registry of curated queries cannot substitute for generation on that axis —
+a real user types predicates nobody pre-registered, and the known
+Spark-vs-DuckDB semantic gaps (ANSI arithmetic, cast rounding, Unicode case
+mapping) live exactly in the corners a curated set misses.
+
+This module generates random, TYPED, depth-bounded SQL boolean expressions
+over the fixture schemas and renders every node through ONE formatter into
+BOTH dialects (Spark SQL and DuckDB SQL). Where the two engines are
+measured to diverge, the formatter renders per-dialect text that pins ONE
+declared semantics for both (the same discipline as the registry's oracle
+pairs), so that any REMAINING count/fingerprint divergence between the two
+engines is a real bug, not a dialect artifact.
+
+Measured divergence ledger (every entry probed on this container's
+pyspark 4.1.2 [ANSI on, UTC session] vs DuckDB; see PERFORMANCE.md
+"FUZZFINDINGS" for the witness expressions):
+
+  rendered per-dialect (same declared semantics both sides):
+  D1  x / y         -> Spark ``TRY_DIVIDE(x,y)`` vs Duck ``x / y``
+                       (÷0: Duck NULL, Spark ANSI error)
+  D2  x % y         -> Spark ``TRY_MOD(x,y)`` vs Duck ``x % y`` (same)
+  D3  regexp match  -> Spark ``s RLIKE p`` vs Duck ``regexp_matches(s,p)``
+  D4  DAYOFWEEK     -> Duck Sunday=0..6, Spark Sunday=1..7: Duck side
+                       rendered ``(DAYOFWEEK(x) + 1)``
+  D5  DATEDIFF      -> Spark ``DATEDIFF(end, start)`` vs Duck
+                       ``DATEDIFF('day', start, end)``
+  D6  JSON extract  -> Spark ``GET_JSON_OBJECT(s, path)`` vs Duck
+                       ``json_extract_string(s, path)`` (aligned on
+                       scalars, nested paths, arrays, bools, missing keys)
+  D7  int -> string -> Spark ``CAST(x AS STRING)`` vs Duck ``AS VARCHAR``
+  D8  SPLIT_PART     -> Duck returns '' for a NULL string arg and the whole
+                       string for a NULL delimiter (NULL-swallowing); Spark
+                       propagates NULL — Duck side rendered with a CASE
+                       NULL-guard. FOUND BY THE FUZZER (lineitem seed 2140
+                       of the 18k widening run), not by the probe ledger.
+
+  excluded from the grammar (divergence has NO faithful dual rendering;
+  each exclusion is itself pinned by tests/test_fuzz_differential.py):
+  X1  CONCAT(a, b): Duck skips NULLs ('a'), Spark yields NULL — grammar
+      uses ``||`` (NULL-propagating in both).
+  X2  SUBSTRING(s, 0, n): Duck consumes length before position 1 ('he'),
+      Spark clamps ('hel') — grammar generates start >= 1 only.
+  X3  LN/LOG10/LOG2 of <= 0 and SQRT of < 0: Duck raises Out of Range,
+      Spark returns NULL/NaN — grammar guards args with ABS(x)+1.
+  X4  TRY_CAST(string AS INT): Duck routes via double and ROUNDS
+      ('42.7'->43), Spark parses strictly (->NULL); TRY_CAST(double AS
+      INT): Duck rounds (42.7->43), Spark truncates (->42) — grammar
+      casts strings to DOUBLE only and never casts double->int.
+  X5  UPPER/LOWER beyond ASCII: Duck 'ß'->'ẞ', Spark 'ß'->'SS' (locale
+      one-to-many mapping) — fixture strings are all-ASCII (verified),
+      where the engines agree.
+  X6  LIKE escapes: Duck has NO default escape character ('a\\_c' LIKE
+      'a\\_c' is false), Spark defaults to backslash — grammar emits
+      wildcard patterns without escapes.
+  X7  EXP / CBRT: last-ulp libm drift (EXP(1.0): ...4590450 vs ...4590455;
+      CBRT(27.0): 3.0000000000000004 vs 3.0) — excluded; SIN/COS/TAN/
+      ATAN/ATAN2/ASIN/ACOS/LN/LOG10/LOG2/SQRT/POWER measured bit-equal.
+  X8  HASH(x): engine-defined (different algorithms) — excluded.
+  X9  Integer floor division: Duck ``//`` floors, Spark ``div`` truncates
+      toward zero (differ on negatives) — excluded from the grammar; the
+      registry's offset-trick ledger covers the cases that need it.
+  X10 int64 overflow: both ANSI-error (Spark ARITHMETIC_OVERFLOW, Duck Out
+      of Range) but an error kills a whole fingerprint batch — integer
+      arithmetic is kept provably small (columns <= ~1e5, literals <= 100,
+      multiplication only in the double domain).
+
+Scale note: the fuzz executes at sf0.001 because it is a SEMANTICS gate,
+not a throughput gate — each batch compiles ~40 predicates into one
+aggregate over one table scan, which is also exactly the shape that would
+run at 100 TB (a single filter+aggregate pass, no shuffle beyond the final
+1-row partial merge).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import NamedTuple
+
+
+class Sql(NamedTuple):
+    """One expression rendered into both dialects, plus its type tag."""
+
+    duck: str
+    spark: str
+
+
+def same(text: str) -> Sql:
+    return Sql(text, text)
+
+
+# ---------------------------------------------------------------------------
+# fixture schema + literal pools (ranges measured from /root/testdata)
+# ---------------------------------------------------------------------------
+
+FUZZ_TABLES: dict[str, dict] = {
+    "lineitem": {
+        "key": "l_orderkey",
+        "int": {
+            "l_orderkey": (0, 1500),
+            "l_partkey": (0, 200),
+            "l_suppkey": (0, 10),
+            "l_linenumber": (1, 7),
+        },
+        "double": {
+            "l_quantity": (1.0, 50.0),
+            "l_extendedprice": (900.0, 105000.0),
+            "l_discount": (0.0, 0.1),
+            "l_tax": (0.0, 0.08),
+        },
+        "str": {
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["F", "O"],
+        },
+        "ts": {"l_shipdate": (1995, 2002)},
+        "json": {},
+    },
+    "orders": {
+        "key": "o_orderkey",
+        "int": {"o_orderkey": (0, 1500), "o_custkey": (0, 150)},
+        "double": {"o_totalprice": (1300.0, 500000.0)},
+        "str": {
+            "o_orderstatus": ["F", "O", "P"],
+            "o_orderpriority": [
+                "1-URGENT",
+                "2-HIGH",
+                "3-MEDIUM",
+                "4-NOT SPECIFIED",
+                "5-LOW",
+            ],
+        },
+        "ts": {"o_orderdate": (1995, 2002)},
+        "json": {},
+    },
+    "events": {
+        "key": "event_id",
+        "int": {"event_id": (0, 1000), "user_id": (0, 15)},
+        "double": {"value": (0.0, 330.0)},
+        "str": {
+            "event_type": ["click", "error", "purchase", "signup", "view"],
+        },
+        "ts": {"ts": (2024, 2024)},
+        "json": {"props": ["$.k"]},
+    },
+    "customer": {
+        "key": "c_custkey",
+        "int": {"c_custkey": (0, 150), "c_nationkey": (0, 25)},
+        "double": {"c_acctbal": (-900.0, 10000.0)},
+        "str": {
+            "c_mktsegment": [
+                "AUTOMOBILE",
+                "BUILDING",
+                "FURNITURE",
+                "HOUSEHOLD",
+                "MACHINERY",
+            ],
+            "c_name": ["Customer#000000042", "Customer#000000007"],
+        },
+        "ts": {},
+        "json": {},
+    },
+    "part": {
+        "key": "p_partkey",
+        "int": {"p_partkey": (0, 200), "p_size": (1, 50)},
+        "double": {"p_retailprice": (900.0, 920.0)},
+        "str": {
+            "p_brand": ["Brand#1", "Brand#12", "Brand#23", "Brand#5"],
+            "p_type": ["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"],
+            "p_name": ["widget", "bolt", "cold", "small", "large"],
+        },
+        "ts": {},
+        "json": {},
+    },
+    "documents": {
+        "key": "doc_id",
+        "int": {"doc_id": (0, 500), "n_chars": (40, 560)},
+        "double": {},
+        "str": {
+            "lang": ["de", "en", "es", "fr", "zh"],
+            "source": ["src0", "src3", "src7", "src12", "src19"],
+            "text": ["table", "scan", "merge", "window", "spark", "batch"],
+        },
+        "ts": {},
+        "json": {},
+    },
+}
+
+# string fragments for LIKE / regexp / function arguments — drawn from the
+# fixture vocabulary so predicates actually select varying row subsets
+_FRAGMENTS = ["a", "e", "r", "ur", "ck", "an", "1-", "#1", "s", "o", "N", "c"]
+
+_SAFE_REGEX = [
+    "^[a-z]+$",
+    "[0-9]+",
+    "^[A-Z]",
+    "(a|e)n",
+    "c.*k",
+    "[a-z]{3}",
+    "^..[a-z]",
+    "(ur|ck|an)",
+    "[A-Z]{2,}",
+    "t$",
+]
+
+
+def _fmt_double(v: float) -> str:
+    # one literal formatter for both dialects: repr() round-trips exactly
+    # and both engines parse the same decimal text to the same double
+    return repr(float(v))
+
+
+def _fmt_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+class PredicateGen:
+    """Depth-bounded typed expression generator over one fixture table.
+
+    Deterministic for a given (seed, table): every random draw goes through
+    one ``random.Random`` — a CI failure reproduces from the seed alone.
+    """
+
+    def __init__(self, table: str, seed: int):
+        self.t = FUZZ_TABLES[table]
+        self.rng = random.Random((hash(table) & 0xFFFF) * 1_000_003 + seed)
+        self.table = table
+
+    # -- helpers ------------------------------------------------------------
+    def _pick(self, options):
+        """Weighted choice: options = [(weight, thunk), ...]."""
+        total = sum(w for w, _ in options)
+        x = self.rng.uniform(0, total)
+        acc = 0.0
+        for w, thunk in options:
+            acc += w
+            if x <= acc:
+                return thunk()
+        return options[-1][1]()
+
+    # -- integer-valued expressions -----------------------------------------
+    def gen_int(self, depth: int) -> Sql:
+        cols = self.t["int"]
+        leafs = [
+            (3.0, lambda: same(self.rng.choice(list(cols)))),
+            (2.0, lambda: same(str(self.rng.randint(-20, 100)))),
+        ]
+        if depth <= 0:
+            return self._pick(leafs)
+        r = self.rng
+        comps = [
+            (1.5, lambda: self._binop_int("+", depth)),
+            (1.5, lambda: self._binop_int("-", depth)),
+            # D2: modulo by (possibly zero) int -> NULL in both renderings
+            (1.0, lambda: self._mod(depth)),
+            (1.0, lambda: Sql(*(f"LENGTH({s})" for s in self.gen_str(depth - 1)))),
+            (0.8, lambda: self._instr(depth)),
+            (0.6, lambda: Sql(
+                *(f"GREATEST({a}, {b})" for a, b in zip(
+                    self.gen_int(depth - 1), self.gen_int(depth - 1))))),
+            (0.6, lambda: Sql(
+                *(f"LEAST({a}, {b})" for a, b in zip(
+                    self.gen_int(depth - 1), self.gen_int(depth - 1))))),
+            (0.8, lambda: self._case_of(self.gen_int, depth)),
+            (0.6, lambda: Sql(
+                *(f"NULLIF({a}, {b})" for a, b in zip(
+                    self.gen_int(depth - 1), self.gen_int(depth - 1))))),
+            (0.6, lambda: Sql(
+                *(f"COALESCE(NULLIF({a}, {b}), {c})" for a, b, c in zip(
+                    self.gen_int(depth - 1), self.gen_int(depth - 1),
+                    self.gen_int(depth - 1))))),
+            (0.8, lambda: Sql(*(f"ABS({s})" for s in self.gen_int(depth - 1)))),
+        ]
+        if self.t["ts"]:
+            comps += [
+                (0.8, self._ts_part_factory(depth)),
+                (0.6, lambda: self._datediff(depth)),  # D5
+            ]
+        return self._pick(leafs + comps)
+
+    def _binop_int(self, op: str, depth: int) -> Sql:
+        a, b = self.gen_int(depth - 1), self.gen_int(depth - 1)
+        return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
+
+    def _mod(self, depth: int) -> Sql:
+        a, b = self.gen_int(depth - 1), self.gen_int(depth - 1)
+        # D2: Duck `%` yields NULL on zero divisor; Spark needs TRY_MOD
+        return Sql(f"({a.duck} % {b.duck})", f"TRY_MOD({a.spark}, {b.spark})")
+
+    def _instr(self, depth: int) -> Sql:
+        s = self.gen_str(depth - 1)
+        frag = _fmt_str(self.rng.choice(_FRAGMENTS))
+        return Sql(f"INSTR({s.duck}, {frag})", f"INSTR({s.spark}, {frag})")
+
+    def _ts_part_factory(self, depth: int):
+        def gen():
+            ts = self.gen_ts(depth - 1)
+            part = self.rng.choice(
+                ["YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "QUARTER", "DOW"]
+            )
+            if part == "DOW":
+                # D4: Duck Sunday=0, Spark Sunday=1
+                return Sql(
+                    f"(DAYOFWEEK({ts.duck}) + 1)", f"DAYOFWEEK({ts.spark})"
+                )
+            return Sql(f"{part}({ts.duck})", f"{part}({ts.spark})")
+
+        return gen
+
+    def _datediff(self, depth: int) -> Sql:
+        a, b = self.gen_ts(depth - 1), self.gen_ts(depth - 1)
+        # D5: argument order differs between the dialects
+        return Sql(
+            f"DATEDIFF('day', {a.duck}, {b.duck})",
+            f"DATEDIFF({b.spark}, {a.spark})",
+        )
+
+    # -- double-valued expressions -------------------------------------------
+    def gen_num(self, depth: int) -> Sql:
+        cols = self.t["double"]
+        leafs = [
+            (2.0, lambda: same(_fmt_double(self._num_literal()))),
+            (1.5, lambda: self.gen_int(0)),
+        ]
+        if cols:
+            leafs.append((3.0, lambda: same(self.rng.choice(list(cols)))))
+        if depth <= 0:
+            return self._pick(leafs)
+        comps = [
+            (1.2, lambda: self._binop_num("+", depth)),
+            (1.2, lambda: self._binop_num("-", depth)),
+            (1.0, lambda: self._binop_num("*", depth)),
+            # D1: division by (possibly zero) value -> NULL in both
+            (1.0, lambda: self._div(depth)),
+            (0.8, lambda: Sql(*(f"ABS({s})" for s in self.gen_num(depth - 1)))),
+            (0.6, lambda: Sql(*(f"ROUND({s})" for s in self.gen_num(depth - 1)))),
+            (0.6, lambda: self._round_n(depth)),
+            (0.5, lambda: Sql(*(f"FLOOR({s})" for s in self.gen_num(depth - 1)))),
+            (0.5, lambda: Sql(*(f"CEIL({s})" for s in self.gen_num(depth - 1)))),
+            # X3: transcendental args guarded non-negative / positive
+            (0.5, lambda: Sql(*(f"SQRT(ABS({s}))" for s in self.gen_num(depth - 1)))),
+            (0.5, lambda: Sql(
+                *(f"LN(ABS({s}) + 1.0)" for s in self.gen_num(depth - 1)))),
+            (0.4, lambda: Sql(
+                *(f"LOG10(ABS({s}) + 1.0)" for s in self.gen_num(depth - 1)))),
+            (0.4, lambda: Sql(*(f"SIN({s})" for s in self.gen_num(depth - 1)))),
+            (0.4, lambda: Sql(*(f"COS({s})" for s in self.gen_num(depth - 1)))),
+            (0.3, lambda: Sql(*(f"ATAN({s})" for s in self.gen_num(depth - 1)))),
+            (0.4, lambda: self._power(depth)),
+            (0.5, lambda: Sql(*(f"(- {s})" for s in self.gen_num(depth - 1)))),
+            (0.6, lambda: Sql(
+                *(f"GREATEST({a}, {b})" for a, b in zip(
+                    self.gen_num(depth - 1), self.gen_num(depth - 1))))),
+            (0.6, lambda: Sql(
+                *(f"LEAST({a}, {b})" for a, b in zip(
+                    self.gen_num(depth - 1), self.gen_num(depth - 1))))),
+            (0.8, lambda: self._case_of(self.gen_num, depth)),
+            (0.5, lambda: Sql(
+                *(f"NULLIF({a}, {b})" for a, b in zip(
+                    self.gen_num(depth - 1), self.gen_num(depth - 1))))),
+            # X4: strings cast to DOUBLE only (never to INT)
+            (0.4, lambda: Sql(
+                *(f"TRY_CAST({s} AS DOUBLE)" for s in self.gen_str(depth - 1)))),
+        ]
+        return self._pick(leafs + comps)
+
+    def _num_literal(self) -> float:
+        cols = self.t["double"]
+        if cols and self.rng.random() < 0.7:
+            lo, hi = self.rng.choice(list(cols.values()))
+            return round(self.rng.uniform(lo, hi), 2)
+        return round(self.rng.uniform(-100, 100), 2)
+
+    def _binop_num(self, op: str, depth: int) -> Sql:
+        a, b = self.gen_num(depth - 1), self.gen_num(depth - 1)
+        return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
+
+    def _div(self, depth: int) -> Sql:
+        a, b = self.gen_num(depth - 1), self.gen_num(depth - 1)
+        # D1: Duck ÷0 -> NULL natively; Spark ANSI needs TRY_DIVIDE
+        return Sql(
+            f"({a.duck} / {b.duck})", f"TRY_DIVIDE({a.spark}, {b.spark})"
+        )
+
+    def _power(self, depth: int) -> Sql:
+        a = self.gen_num(depth - 1)
+        # draw the exponent ONCE — a draw inside the dual-render loop would
+        # silently hand each dialect a different expression
+        n = self.rng.randint(1, 3)
+        return Sql(f"POWER({a.duck}, {n})", f"POWER({a.spark}, {n})")
+
+    def _round_n(self, depth: int) -> Sql:
+        a = self.gen_num(depth - 1)
+        n = self.rng.randint(1, 3)
+        return Sql(f"ROUND({a.duck}, {n})", f"ROUND({a.spark}, {n})")
+
+    # -- string-valued expressions --------------------------------------------
+    def gen_str(self, depth: int) -> Sql:
+        cols = self.t["str"]
+        pool = [v for vs in cols.values() for v in vs] + _FRAGMENTS
+        leafs = [
+            (3.0, lambda: same(self.rng.choice(list(cols)))),
+            (1.5, lambda: same(_fmt_str(self.rng.choice(pool)))),
+        ]
+        if depth <= 0:
+            return self._pick(leafs)
+        r = self.rng
+        comps = [
+            (0.8, lambda: Sql(*(f"UPPER({s})" for s in self.gen_str(depth - 1)))),
+            (0.8, lambda: Sql(*(f"LOWER({s})" for s in self.gen_str(depth - 1)))),
+            (0.5, lambda: Sql(*(f"TRIM({s})" for s in self.gen_str(depth - 1)))),
+            # X1: `||` propagates NULL in both; CONCAT() does not in Duck
+            (0.8, lambda: Sql(
+                *(f"({a} || {b})" for a, b in zip(
+                    self.gen_str(depth - 1), self.gen_str(depth - 1))))),
+            # X2: start >= 1 only
+            (0.8, lambda: self._substring(depth)),
+            (0.5, lambda: self._leftright(depth)),
+            (0.5, lambda: self._replace(depth)),
+            (0.4, lambda: self._pad(depth)),
+            (0.4, lambda: self._split_part(depth)),
+            (0.4, lambda: self._regexp_extract(depth)),
+            (0.7, lambda: self._case_of(self.gen_str, depth)),
+            # D7: int-to-string cast type name differs
+            (0.4, lambda: Sql(*(
+                f"CAST({s} AS {t})" for s, t in zip(
+                    self.gen_int(depth - 1), ("VARCHAR", "STRING"))))),
+            (0.4, lambda: Sql(
+                *(f"NULLIF({a}, {b})" for a, b in zip(
+                    self.gen_str(depth - 1), self.gen_str(depth - 1))))),
+        ]
+        if self.t["json"]:
+            comps.append((1.0, lambda: self._json(depth)))
+        return self._pick(leafs + comps)
+
+    def _substring(self, depth: int) -> Sql:
+        s = self.gen_str(depth - 1)
+        start = self.rng.randint(1, 5)
+        n = self.rng.randint(0, 8)
+        return Sql(
+            f"SUBSTRING({s.duck}, {start}, {n})",
+            f"SUBSTRING({s.spark}, {start}, {n})",
+        )
+
+    def _leftright(self, depth: int) -> Sql:
+        s = self.gen_str(depth - 1)
+        fn = self.rng.choice(["LEFT", "RIGHT"])
+        n = self.rng.randint(0, 6)
+        return Sql(f"{fn}({s.duck}, {n})", f"{fn}({s.spark}, {n})")
+
+    def _replace(self, depth: int) -> Sql:
+        s = self.gen_str(depth - 1)
+        a = _fmt_str(self.rng.choice(_FRAGMENTS))
+        b = _fmt_str(self.rng.choice(_FRAGMENTS + [""]))
+        return Sql(f"REPLACE({s.duck}, {a}, {b})", f"REPLACE({s.spark}, {a}, {b})")
+
+    def _pad(self, depth: int) -> Sql:
+        s = self.gen_str(depth - 1)
+        fn = self.rng.choice(["LPAD", "RPAD"])
+        n = self.rng.randint(1, 12)
+        p = _fmt_str(self.rng.choice(["x", "ab", "_"]))
+        return Sql(f"{fn}({s.duck}, {n}, {p})", f"{fn}({s.spark}, {n}, {p})")
+
+    def _split_part(self, depth: int) -> Sql:
+        s = self.gen_str(depth - 1)
+        d = _fmt_str(self.rng.choice(["-", " ", "#", "r"]))
+        n = self.rng.randint(1, 3)
+        # D8: Duck SPLIT_PART(NULL, d, n) returns '' (non-NULL!); Spark
+        # propagates NULL — pin Spark's NULL-propagation with a CASE guard
+        # on the Duck side (delimiter is always a literal here, never NULL)
+        return Sql(
+            f"CASE WHEN ({s.duck}) IS NULL THEN NULL "
+            f"ELSE SPLIT_PART({s.duck}, {d}, {n}) END",
+            f"SPLIT_PART({s.spark}, {d}, {n})",
+        )
+
+    def _regexp_extract(self, depth: int) -> Sql:
+        s = self.gen_str(depth - 1)
+        p = _fmt_str(self.rng.choice(_SAFE_REGEX))
+        # group 0 = whole match, accepted by both engines (measured)
+        return Sql(
+            f"REGEXP_EXTRACT({s.duck}, {p}, 0)",
+            f"REGEXP_EXTRACT({s.spark}, {p}, 0)",
+        )
+
+    def _json(self, depth: int) -> Sql:
+        col = self.rng.choice(list(self.t["json"]))
+        path = self.rng.choice(self.t["json"][col] + ["$.missing"])
+        # D6: function names differ; semantics measured identical
+        return Sql(
+            f"json_extract_string({col}, '{path}')",
+            f"GET_JSON_OBJECT({col}, '{path}')",
+        )
+
+    # -- timestamp-valued expressions ------------------------------------------
+    def gen_ts(self, depth: int) -> Sql:
+        cols = self.t["ts"]
+        leafs = [
+            (3.0, lambda: same(self.rng.choice(list(cols)))),
+            (1.5, lambda: same(self._ts_literal())),
+        ]
+        if depth <= 0:
+            return self._pick(leafs)
+        comps = [
+            (1.0, lambda: self._ts_interval(depth)),
+            (0.8, lambda: self._date_trunc(depth)),
+            (0.5, lambda: Sql(
+                *(f"GREATEST({a}, {b})" for a, b in zip(
+                    self.gen_ts(depth - 1), self.gen_ts(depth - 1))))),
+            (0.5, lambda: Sql(
+                *(f"LEAST({a}, {b})" for a, b in zip(
+                    self.gen_ts(depth - 1), self.gen_ts(depth - 1))))),
+            (0.6, lambda: self._case_of(self.gen_ts, depth)),
+        ]
+        return self._pick(leafs + comps)
+
+    def _ts_literal(self) -> str:
+        lo, hi = next(iter(self.t["ts"].values()))
+        y = self.rng.randint(lo, hi)
+        mo = self.rng.randint(1, 12) if lo != hi else 1
+        d = self.rng.randint(1, 28)
+        h, mi = self.rng.randint(0, 23), self.rng.randint(0, 59)
+        return f"TIMESTAMP '{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:00'"
+
+    def _ts_interval(self, depth: int) -> Sql:
+        ts = self.gen_ts(depth - 1)
+        n = self.rng.randint(1, 400)
+        unit = self.rng.choice(["DAY", "HOUR", "MINUTE"])
+        op = self.rng.choice(["+", "-"])
+        return Sql(
+            f"({ts.duck} {op} INTERVAL {n} {unit})",
+            f"({ts.spark} {op} INTERVAL {n} {unit})",
+        )
+
+    def _date_trunc(self, depth: int) -> Sql:
+        ts = self.gen_ts(depth - 1)
+        g = self.rng.choice(["year", "month", "week", "day", "hour"])
+        return Sql(
+            f"DATE_TRUNC('{g}', {ts.duck})", f"DATE_TRUNC('{g}', {ts.spark})"
+        )
+
+    # -- shared ---------------------------------------------------------------
+    def _case_of(self, gen, depth: int) -> Sql:
+        b = self.gen_bool(depth - 1)
+        a, c = gen(depth - 1), gen(depth - 1)
+        return Sql(
+            f"CASE WHEN {b.duck} THEN {a.duck} ELSE {c.duck} END",
+            f"CASE WHEN {b.spark} THEN {a.spark} ELSE {c.spark} END",
+        )
+
+    # -- boolean expressions ----------------------------------------------------
+    def gen_bool(self, depth: int) -> Sql:
+        r = self.rng
+        cmps = ["<", "<=", ">", ">=", "=", "<>"]
+
+        def num_cmp():
+            a, b = self.gen_num(depth - 1), self.gen_num(depth - 1)
+            op = r.choice(cmps)
+            return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
+
+        def int_cmp():
+            a, b = self.gen_int(depth - 1), self.gen_int(depth - 1)
+            op = r.choice(cmps)
+            return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
+
+        def str_cmp():
+            a, b = self.gen_str(depth - 1), self.gen_str(depth - 1)
+            op = r.choice(cmps)
+            return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
+
+        def ts_cmp():
+            a, b = self.gen_ts(depth - 1), self.gen_ts(depth - 1)
+            op = r.choice(cmps)
+            return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
+
+        def like():
+            s = self.gen_str(depth - 1)
+            frag = r.choice(_FRAGMENTS)
+            pat = r.choice([f"%{frag}%", f"{frag}%", f"%{frag}", f"%{frag}%e%"])
+            neg = "NOT " if r.random() < 0.3 else ""
+            # X6: no escaped wildcards (Duck has no default escape char)
+            return Sql(
+                f"({s.duck} {neg}LIKE {_fmt_str(pat)})",
+                f"({s.spark} {neg}LIKE {_fmt_str(pat)})",
+            )
+
+        def regex():
+            s = self.gen_str(depth - 1)
+            p = _fmt_str(r.choice(_SAFE_REGEX))
+            # D3: match predicate spelling differs
+            return Sql(
+                f"regexp_matches({s.duck}, {p})", f"({s.spark} RLIKE {p})"
+            )
+
+        def is_null():
+            gen = r.choice(
+                [self.gen_num, self.gen_str] + ([self.gen_ts] if self.t["ts"] else [])
+            )
+            e = gen(depth - 1)
+            neg = " NOT" if r.random() < 0.5 else ""
+            return Sql(f"({e.duck} IS{neg} NULL)", f"({e.spark} IS{neg} NULL)")
+
+        def between():
+            if self.t["double"] and r.random() < 0.6:
+                col = r.choice(list(self.t["double"]))
+                lo0, hi0 = self.t["double"][col]
+            else:
+                col = r.choice(list(self.t["int"]))
+                lo0, hi0 = self.t["int"][col]
+            a = self.rng.uniform(lo0, hi0)
+            b = self.rng.uniform(lo0, hi0)
+            lo, hi = sorted([round(a, 2), round(b, 2)])
+            return same(f"({col} BETWEEN {_fmt_double(lo)} AND {_fmt_double(hi)})")
+
+        def in_list():
+            if self.t["str"] and r.random() < 0.6:
+                col = r.choice(list(self.t["str"]))
+                vals = self.t["str"][col] + _FRAGMENTS[:2]
+                k = r.randint(1, min(4, len(vals)))
+                lits = ", ".join(_fmt_str(v) for v in r.sample(vals, k))
+            else:
+                col = r.choice(list(self.t["int"]))
+                lo, hi = self.t["int"][col]
+                k = r.randint(1, 5)
+                lits = ", ".join(str(r.randint(lo, hi)) for _ in range(k))
+            neg = "NOT " if r.random() < 0.3 else ""
+            return same(f"({col} {neg}IN ({lits}))")
+
+        def logical():
+            a, b = self.gen_bool(depth - 1), self.gen_bool(depth - 1)
+            op = r.choice(["AND", "OR"])
+            return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
+
+        def negation():
+            a = self.gen_bool(depth - 1)
+            return Sql(f"(NOT {a.duck})", f"(NOT {a.spark})")
+
+        leafs = [(2.0, num_cmp), (1.5, int_cmp), (1.2, str_cmp),
+                 (1.0, between), (1.0, in_list), (0.8, like)]
+        if self.t["ts"]:
+            leafs.append((1.0, ts_cmp))
+        if depth <= 0:
+            return self._pick(leafs)
+        comps = [(1.2, logical), (0.6, negation), (0.7, regex), (0.7, is_null)]
+        return self._pick(leafs + comps)
+
+
+def gen_predicate(table: str, seed: int, depth: int = 4) -> Sql:
+    """One seeded boolean predicate over `table`, rendered for both engines."""
+    return PredicateGen(table, seed).gen_bool(depth)
+
+
+def fingerprint_sql(table: str, preds: list[Sql], dialect: str) -> str:
+    """Compile a batch of predicates into ONE aggregate query.
+
+    Per predicate i: c{i} = matching row count, s{i} = sum of the table key
+    over matching rows (order-insensitive set fingerprint — catches row-set
+    differences that happen to preserve the count). Key sums are bounded
+    (max key * rows ~ 1e10 at sf0.01) so BIGINT is exact in both engines;
+    the DuckDB cast also pins SUM's HUGEINT result back to int64 so pandas
+    doesn't degrade it to float64.
+    """
+    key = FUZZ_TABLES[table]["key"]
+    cols = []
+    for i, p in enumerate(preds):
+        q = p.duck if dialect == "duck" else p.spark
+        cols.append(f"CAST(SUM(CASE WHEN ({q}) THEN 1 ELSE 0 END) AS BIGINT) AS c{i}")
+        cols.append(
+            f"CAST(SUM(CASE WHEN ({q}) THEN {key} ELSE 0 END) AS BIGINT) AS s{i}"
+        )
+    return "SELECT " + ",\n       ".join(cols) + f"\nFROM {table}"

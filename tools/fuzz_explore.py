@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Exploratory fuzz run: many seeds, report every Spark-vs-DuckDB divergence.
+
+Usage: python tools/fuzz_explore.py [N_PER_TABLE] [SF_DIR]
+
+This is the discovery loop behind tests/test_fuzz_differential.py: run it
+wide (e.g. 2000 seeds/table), shrink anything that diverges, pin the class
+in the fuzzing.py ledger + a trap test, re-run until dry. CI then locks a
+green seed range forever.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from c2_duckdb_runner_spark import fuzzing  # noqa: E402
+from c2_duckdb_runner_spark.session import get_spark  # noqa: E402
+from c2_duckdb_runner_spark.tables import load  # noqa: E402
+
+BATCH = 40
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+
+    spark = get_spark("fuzz-explore")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    tables = list(fuzzing.FUZZ_TABLES)
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_div = n_err = 0
+    t0 = time.time()
+    for table in tables:
+        for lo in range(0, n, BATCH):
+            seeds = list(range(lo, min(lo + BATCH, n)))
+            preds = [fuzzing.gen_predicate(table, s) for s in seeds]
+            try:
+                srow = spark.sql(
+                    fuzzing.fingerprint_sql(table, preds, "spark")
+                ).collect()[0]
+                drow = con.execute(
+                    fuzzing.fingerprint_sql(table, preds, "duck")
+                ).fetchone()
+            except Exception:
+                # isolate the offending predicate one by one
+                for s, p in zip(seeds, preds):
+                    try:
+                        a = spark.sql(
+                            fuzzing.fingerprint_sql(table, [p], "spark")
+                        ).collect()[0]
+                        b = con.execute(
+                            fuzzing.fingerprint_sql(table, [p], "duck")
+                        ).fetchone()
+                        if (a[0], a[1]) != (b[0], b[1]):
+                            n_div += 1
+                            print(f"DIVERGE {table} seed={s}\n  spark: {p.spark}"
+                                  f"\n  duck:  {p.duck}\n  got {tuple(a)} vs {tuple(b)}")
+                    except Exception as ex:  # noqa: BLE001
+                        n_err += 1
+                        print(f"ERROR {table} seed={s}: {str(ex)[:200]}"
+                              f"\n  spark: {p.spark}\n  duck:  {p.duck}")
+                continue
+            for i, s in enumerate(seeds):
+                a = (srow[2 * i], srow[2 * i + 1])
+                b = (drow[2 * i], drow[2 * i + 1])
+                if a != b:
+                    n_div += 1
+                    p = preds[i]
+                    print(f"DIVERGE {table} seed={s}: {a} vs {b}"
+                          f"\n  spark: {p.spark}\n  duck:  {p.duck}")
+        print(f"{table}: {n} seeds done ({time.time()-t0:.0f}s)", flush=True)
+
+    print(f"\ntotal: {n*len(tables)} predicates, {n_div} divergences, "
+          f"{n_err} errors in {time.time()-t0:.0f}s")
+    sys.exit(1 if (n_div or n_err) else 0)
+
+
+if __name__ == "__main__":
+    main()
