@@ -108,6 +108,11 @@ def main() -> None:
         done = sum(
             1 for v in results.values() if v.get("hash_match") and v.get("rows_match")
         )
+        # driver-level checkpoint: a multi-hour sweep killed mid-run must
+        # keep every completed chunk (the chunk files are deleted after
+        # harvest, so this is the only durable copy)
+        with open(os.path.join(REPO, target) + ".running", "w") as fh:
+            json.dump(results, fh, indent=1)
         print(
             f"chunk {i // chunk + 1}: {len(results)}/{len(keys)} keys,"
             f" {done} pass",
@@ -147,6 +152,9 @@ def main() -> None:
     }
     with open(os.path.join(REPO, target), "w") as fh:
         json.dump(summary, fh, indent=1)
+    running = os.path.join(REPO, target) + ".running"
+    if os.path.exists(running):
+        os.remove(running)
     print(
         f"wrote {target}: {n_pass} pass / {n_fail} fail of {len(results)}",
         flush=True,
