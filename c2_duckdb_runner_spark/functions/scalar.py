@@ -34,6 +34,8 @@ from c2_duckdb_runner_spark.tables import load
     ),
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string function family (upper/substr/length/trim/concat/...),
+    all JVM-side whole-stage-codegen expressions."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -155,6 +157,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core math function family (abs/round/floor/sqrt/pow/...) over
+    lineitem numerics; decimal-routed where the oracle hash needs it."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -185,6 +189,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif conditional family (fn_conditional
+    in SURVEY §2)."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

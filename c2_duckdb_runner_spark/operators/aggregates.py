@@ -160,6 +160,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_groupby_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key hash aggregate (3 grouping columns) — one shuffle on
+    the tuple key, partial+final combine as in main.cc:197/273-281."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus", "l_quantity")
@@ -229,6 +231,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS: two independent groupings in one Expand +
+    aggregate pass instead of a self-union of two scans."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
     return spark.sql(
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM v_orders_gs "

@@ -42,6 +42,8 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate (set membership), a WHERE shape reachable through
+    the reference filter slot (main.cc:164-169)."""
     return (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -57,6 +59,7 @@ def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN range predicate, inclusive on both ends in both engines."""
     return (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity").between(10, 20))
@@ -97,6 +100,7 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE wildcard predicates, positive and negated, conjoined."""
     p = load(spark, sf_dir, "part")
     return p.filter(
         F.col("p_name").like("%al%") & ~F.col("p_brand").like("Brand#1%")
@@ -128,6 +132,8 @@ def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def filter_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """startswith/contains/endswith sugar — compiled to the same
+    StringPredicate expressions the SQL surface reaches via LIKE."""
     c = load(spark, sf_dir, "customer")
     return c.filter(
         F.col("c_name").startswith("Customer#")

@@ -101,6 +101,8 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every supplier row survives, unmatched nation
+    columns go NULL — planned as the mirrored left-outer by Catalyst."""
     n = load(spark, sf_dir, "nation")
     s = load(spark, sf_dir, "supplier")
     return n.join(s, s.s_nationkey == n.n_nationkey, "right").select(

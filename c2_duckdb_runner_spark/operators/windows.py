@@ -52,6 +52,8 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() and dense_rank() over a per-order frame: ties share a rank,
+    dense_rank leaves no gaps; deterministic via the linenumber tiebreak."""
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_quantity").desc(), "l_linenumber"
     )
