@@ -448,9 +448,10 @@ def composite_supplier_count_by_part(
 @register(
     "composite_small_quantity_revenue",
     oracle="""
-SELECT ROUND(
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
-  6) AS avg_yearly
+SELECT CAST(
+  (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000
+       AS BIGINT) + 7) // 14
+  AS BIGINT) AS avg_yearly_micro
 FROM lineitem, part
 WHERE p_partkey = l_partkey
   AND p_brand = 'Brand#12'
@@ -470,7 +471,17 @@ def composite_small_quantity_revenue(
     partkey (computed only for the brand's parts via a semi-join first),
     joined back on the correlation key — one extra shuffle instead of a
     per-row re-scan. The threshold expression (0.2 * (decimal-sum-as-double
-    / count)) is IEEE-identical to the oracle's, so boundary rows agree."""
+    / count)) is IEEE-identical to the oracle's, so boundary rows agree.
+
+    The yearly average ships as EXACT INTEGER MICROS (avg_yearly_micro =
+    round(sum/7) at 1e-6), computed as floor((2*sum_micros + 7)/14) in
+    int64 (positive operands, so Duck's floor `//` and Spark's truncating
+    `div` agree). The round-9 100x sweep caught the previous
+    ROUND(double, 6) fold: at 100x the sum is ~1.1e10, where
+    ulp(sum/7) ~ 2.4e-7 exceeds the 1e-6 rounding grid's precision and
+    the engines' ROUND picked DIFFERENT nearest doubles (...285714 vs
+    ...285715). Sub-ulp rounding of large doubles is not cross-engine
+    stable; decimal/integer routing is (SURVEY §5.4 discipline)."""
     part = load(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#12"
     ).select("p_partkey")
@@ -496,13 +507,12 @@ def composite_small_quantity_revenue(
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                )
-                / 7.0,
-                6,
-            ).alias("avg_yearly")
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s")
+        )
+        .select(
+            F.expr(
+                "CAST((2 * CAST(s * 10000 AS BIGINT) + 7) div 14 AS BIGINT)"
+            ).alias("avg_yearly_micro")
         )
     )
 
