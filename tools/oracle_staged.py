@@ -464,6 +464,33 @@ ORDER BY lcc_ppm DESC, node ASC LIMIT {_LCC_TOP}""",
     )
 
 
+def staged_scan_dir_enumerate(sf_dir: str, work: str):
+    """LAYOUT-AWARE twin of scan_dir_enumerate's registry oracle.
+
+    The registry oracle hardcodes the driver fixtures' one-file-per-table
+    layout (``'lineitem.parquet' AS file_name``) because the driver's
+    pre-registered views flatten any layout — a view cannot expose
+    filenames. The scaled replicas are Spark-written DATASET DIRECTORIES
+    (8 part files at 100x), where the per-file enumeration the key exists
+    to test (main.cc:297-324) legitimately returns one row per part file.
+    This staged form asks DuckDB for the same per-file counts via
+    read_parquet(filename=true); on a single-file layout it returns
+    exactly the registry oracle's row, pinned by
+    tests/test_invariants_r8.py's staged==monolithic parametrization.
+    """
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    con = _connect(sf_dir, work)
+    try:
+        return con.execute(
+            f"SELECT parse_filename(filename) AS file_name, "
+            f"COUNT(*) AS n FROM read_parquet('{src}', filename=true) "
+            f"GROUP BY 1"
+        ).fetchdf()
+    finally:
+        con.close()
+
+
 STAGED_ORACLES = {
     "graph_bfs_multisource": staged_bfs,
     "graph_ppr_seed_teleport": staged_ppr,
@@ -471,6 +498,7 @@ STAGED_ORACLES = {
     "graph_jaccard_neighbor_sim": staged_jaccard,
     "graph_rich_club": staged_rich_club,
     "graph_local_clustering_topk": staged_lcc,
+    "scan_dir_enumerate": staged_scan_dir_enumerate,
 }
 
 
