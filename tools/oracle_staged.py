@@ -491,6 +491,38 @@ def staged_scan_dir_enumerate(sf_dir: str, work: str):
         con.close()
 
 
+def staged_skyline(sf_dir: str, work: str):
+    """O(n log n) window-sweep twin of query_skyline_pareto's oracle.
+
+    The registry oracle is the NOT EXISTS all-pairs SPEC — the right
+    declaration of skyline, and fine at driver scale, but quadratic: at
+    the 100x replica (200k parts) DuckDB's mark-join ran a single core
+    for 20+ minutes. This staged form is the same dominance algebra the
+    Spark side uses (skyline_linkage_ext.py:93-97): a row survives iff
+    its size strictly exceeds the max size over STRICTLY cheaper rows
+    AND equals the max size among its equal-price peers. Equivalence to
+    the spec is pinned by the staged==monolithic parametrized test.
+    """
+    return _fetch(
+        sf_dir,
+        work,
+        """WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS INT) AS p_size
+  FROM part
+), w AS (
+  SELECT p_partkey, price_cents, p_size,
+         MAX(p_size) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS m_strict,
+         MAX(p_size) OVER (PARTITION BY price_cents) AS m_eq
+  FROM p
+)
+SELECT p_partkey, price_cents, p_size FROM w
+WHERE (m_strict IS NULL OR p_size > m_strict) AND p_size = m_eq""",
+    )
+
+
 STAGED_ORACLES = {
     "graph_bfs_multisource": staged_bfs,
     "graph_ppr_seed_teleport": staged_ppr,
@@ -499,6 +531,7 @@ STAGED_ORACLES = {
     "graph_rich_club": staged_rich_club,
     "graph_local_clustering_topk": staged_lcc,
     "scan_dir_enumerate": staged_scan_dir_enumerate,
+    "query_skyline_pareto": staged_skyline,
 }
 
 
