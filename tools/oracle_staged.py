@@ -63,7 +63,9 @@ TABLES = (
 # one bounded stage = one fresh connection; never let a single query own
 # more than this (the Spark JVM shares the host during sweeps)
 _DUCK_MEM = os.environ.get("SPARK_GRAFT_DUCK_MEM", "40GB")
-_SPILL = "/tmp/duck_spill"
+# per-process spill subdir: see sweep_sf1.py — shared temp dirs
+# corrupt concurrent lanes via colliding temp-file names
+_SPILL = f"/tmp/duck_spill/{os.getpid()}"
 
 
 def _connect(sf_dir: str, work: str) -> duckdb.DuckDBPyConnection:

@@ -83,11 +83,15 @@ def main() -> None:
     # it a spill directory, or big-window oracles (e.g. RAKE's per-run
     # list() over 6e8 tokens) die with "Failed to allocate block" instead
     # of going out-of-core
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    # PER-PROCESS spill dir: concurrent sweep lanes sharing one
+    # temp_directory collide on duckdb_temp_storage-N.tmp names and
+    # corrupt each other's spill (caught in the r9 parallel sweep)
+    spill = f"/tmp/duck_spill/{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
     con.execute(
         f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '40GB')}'"
     )
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET threads=16")  # don't stack 32 duck threads on the JVM's
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
