@@ -503,12 +503,15 @@ _AES_KEY = "0123456789abcdef"  # 16-byte demo key; production keys arrive via co
     # DuckDB has no AES functions, so the oracle states the roundtrip LAW
     # the Spark side must prove: decrypt(encrypt(x, k), k) = x (verified
     # value-by-value — the restored plaintext column is hash-matched) and
-    # try_aes_decrypt under the wrong key yields NULL. A broken crypto
-    # path (bad padding, mode mismatch, key truncation) breaks either the
-    # restored names or the verdict bits and the hash goes red.
+    # a wrong-key decrypt NEVER restores the plaintext. The original law
+    # ("wrong key yields NULL") was only STATISTICALLY true — ECB+PKCS7
+    # wrong-key decryption produces valid padding with probability ~1/256
+    # per row, invisible at 150 fixture rows but ~586 expected hits at the
+    # 150k-customer 100x replica, where the r9 sweep caught it. The exact
+    # law (plaintext never restored, P ~ 2^-128) replaces it.
     oracle=(
         "SELECT c_custkey, c_name AS restored_name, "
-        "CAST(1 AS INT) AS roundtrip_ok, CAST(1 AS INT) AS wrong_key_null "
+        "CAST(1 AS INT) AS roundtrip_ok, CAST(1 AS INT) AS wrong_key_safe "
         "FROM customer"
     ),
 )
@@ -527,12 +530,16 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'{_AES_KEY}', 'ECB') AS STRING)"
     )
     wrong = F.expr(
-        f"try_aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'), "
-        f"'fedcba9876543210', 'ECB')"
+        f"CAST(try_aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'), "
+        f"'fedcba9876543210', 'ECB') AS STRING)"
     )
     return c.select(
         "c_custkey",
         dec.alias("restored_name"),
         (dec == F.col("c_name")).cast("int").alias("roundtrip_ok"),
-        wrong.isNull().cast("int").alias("wrong_key_null"),
+        # NULL (padding rejected) or garbage both count as safe; only
+        # restoring the true plaintext under the wrong key would fail
+        (~wrong.eqNullSafe(F.col("c_name"))).cast("int").alias(
+            "wrong_key_safe"
+        ),
     )
