@@ -140,11 +140,19 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_rms_stub",
+    # exact integer ppm with half-up rounding: floor((2*s*1e6 + d)/(2d)).
+    # The original ROUND(double, 6) diverged at the 100x replica — mean
+    # byte values are k/(255n) rationals that can land EXACTLY on a
+    # 6-decimal half (….3421875), where Python's round (half-even, the
+    # mapInPandas side) and DuckDB's ROUND (half-away) pick different
+    # neighbors; invisible until the replica's suffixed bytes produced
+    # tie rows. Integer arithmetic has one rounding rule on both engines.
     oracle="""
 SELECT doc_id,
-       ROUND(list_sum([CAST(ord(text[i]) AS BIGINT)
-                       FOR i IN range(1, length(text) + 1)])
-             * 1.0 / length(text) / 255.0, 6) AS rms
+       CAST((2 * list_sum([CAST(ord(text[i]) AS BIGINT)
+                           FOR i IN range(1, length(text) + 1)]) * 1000000
+             + length(text) * 255)
+            // (2 * length(text) * 255) AS BIGINT) AS rms_ppm
 FROM documents
 """,
 )
@@ -158,13 +166,15 @@ def mm_audio_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            vals = [
-                round(float(np.frombuffer(p, dtype=np.uint8).mean()) / 255.0, 6)
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rms": vals})
+            vals = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(p, dtype=np.uint8)
+                s, d = int(a.sum()), len(a) * 255
+                # exact int ppm, half-up — matches the oracle bit-for-bit
+                vals.append((2 * s * 1_000_000 + d) // (2 * d))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rms_ppm": vals})
 
-    return src.mapInPandas(rms, schema="doc_id bigint, rms double")
+    return src.mapInPandas(rms, schema="doc_id bigint, rms_ppm bigint")
 
 
 _N_FRAMES, _FRAME_LEN = 4, 16
