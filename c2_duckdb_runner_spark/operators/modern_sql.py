@@ -44,7 +44,15 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4): walk each supplier key up the implicit
     binary tree (parent = key div 2) to the root and report the walk
     depth — the ancestor-chain recursion shape (org charts, BOM
-    explosions), depth-bounded at log2(max key)."""
+    explosions), depth-bounded at log2(max key).
+
+    The query self-pins ``spark.sql.cteRecursionRowLimit``: the default
+    1M-row guard trips at the 100x replica (100k suppliers x ~29 ancestor
+    levels under the shifted key domain ~ 2.9M recursion rows — caught by
+    the r9 sweep). The recursion's TRUE bound is n_suppliers x
+    log2(max_key): linear in input with a logarithmic factor, never
+    runaway, so raising the guard is semantics-safe at any corpus scale."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
     return spark.sql("""
 WITH RECURSIVE chain(sk, anc, depth) AS (
