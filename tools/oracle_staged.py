@@ -525,6 +525,25 @@ WHERE (m_strict IS NULL OR p_size > m_strict) AND p_size = m_eq""",
     )
 
 
+def staged_scan_file_metadata(sf_dir: str, work: str):
+    """Layout-aware twin of scan_file_metadata_cols (same class as
+    scan_dir_enumerate: the registry oracle hardcodes the single-file
+    fixture layout; dataset directories legitimately yield one row per
+    part file)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    con = _connect(sf_dir, work)
+    try:
+        return con.execute(
+            f"SELECT parse_filename(filename) AS fname, "
+            f"CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            f"FROM read_parquet('{src}', filename=true) GROUP BY 1"
+        ).fetchdf()
+    finally:
+        con.close()
+
+
 STAGED_ORACLES = {
     "graph_bfs_multisource": staged_bfs,
     "graph_ppr_seed_teleport": staged_ppr,
@@ -533,6 +552,7 @@ STAGED_ORACLES = {
     "graph_rich_club": staged_rich_club,
     "graph_local_clustering_topk": staged_lcc,
     "scan_dir_enumerate": staged_scan_dir_enumerate,
+    "scan_file_metadata_cols": staged_scan_file_metadata,
     "query_skyline_pareto": staged_skyline,
 }
 
