@@ -79,6 +79,7 @@ run at 100 TB (a single filter+aggregate pass, no shuffle beyond the final
 from __future__ import annotations
 
 import random
+import zlib
 from typing import NamedTuple
 
 
@@ -226,7 +227,11 @@ class PredicateGen:
 
     def __init__(self, table: str, seed: int):
         self.t = FUZZ_TABLES[table]
-        self.rng = random.Random((hash(table) & 0xFFFF) * 1_000_003 + seed)
+        # zlib.crc32 is process-stable (builtin hash() is salted per run,
+        # which would void determinism: a CI failure must reproduce from
+        # the (table, seed) pair alone).
+        table_salt = zlib.crc32(table.encode("utf-8")) & 0xFFFF
+        self.rng = random.Random(table_salt * 1_000_003 + seed)
         self.table = table
 
     # -- helpers ------------------------------------------------------------

@@ -449,7 +449,7 @@ def composite_supplier_count_by_part(
     "composite_small_quantity_revenue",
     oracle="""
 SELECT CAST(
-  (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 10000
+  (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000
        AS BIGINT) + 7) // 14
   AS BIGINT) AS avg_yearly_micro
 FROM lineitem, part
@@ -474,9 +474,11 @@ def composite_small_quantity_revenue(
     / count)) is IEEE-identical to the oracle's, so boundary rows agree.
 
     The yearly average ships as EXACT INTEGER MICROS (avg_yearly_micro =
-    round(sum/7) at 1e-6), computed as floor((2*sum_micros + 7)/14) in
-    int64 (positive operands, so Duck's floor `//` and Spark's truncating
-    `div` agree). The round-9 100x sweep caught the previous
+    round(sum/7) at 1e-6; multiplier 1e6 so the name and grid agree —
+    r9 advice caught the earlier 1e4 mismatch), computed as
+    floor((2*sum_micros + 7)/14) in int64 (positive operands, so Duck's
+    floor `//` and Spark's truncating `div` agree; headroom ~2.2e16 at
+    100x, well inside int64). The round-9 100x sweep caught the previous
     ROUND(double, 6) fold: at 100x the sum is ~1.1e10, where
     ulp(sum/7) ~ 2.4e-7 exceeds the 1e-6 rounding grid's precision and
     the engines' ROUND picked DIFFERENT nearest doubles (...285714 vs
@@ -511,7 +513,7 @@ def composite_small_quantity_revenue(
         )
         .select(
             F.expr(
-                "CAST((2 * CAST(s * 10000 AS BIGINT) + 7) div 14 AS BIGINT)"
+                "CAST((2 * CAST(s * 1000000 AS BIGINT) + 7) div 14 AS BIGINT)"
             ).alias("avg_yearly_micro")
         )
     )

@@ -51,10 +51,17 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels under the shifted key domain ~ 2.9M recursion rows — caught by
     the r9 sweep). The recursion's TRUE bound is n_suppliers x
     log2(max_key): linear in input with a logarithmic factor, never
-    runaway, so raising the guard is semantics-safe at any corpus scale."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
-    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
-    return spark.sql("""
+    runaway, so raising the guard is semantics-safe at any corpus scale.
+    The override is SCOPED: the prior limit is restored after the
+    recursion materializes (localCheckpoint — distributed executor
+    storage, n_suppliers output rows, no driver collect), so the
+    session-wide runaway guard stays armed for every later query."""
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, str(1_000_000_000))
+    try:
+        load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
+        df = spark.sql("""
 WITH RECURSIVE chain(sk, anc, depth) AS (
   SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc
   UNION ALL
@@ -62,6 +69,12 @@ WITH RECURSIVE chain(sk, anc, depth) AS (
 )
 SELECT sk AS s_suppkey, MAX(depth) AS depth FROM chain GROUP BY sk
 """)
+        return df.localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 @register(

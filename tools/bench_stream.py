@@ -245,9 +245,16 @@ def main() -> None:
                 "hdfs_backed": {"sf01": s, "sf1": b},
                 "rocksdb": {"sf01": rs, "sf1": rb},
             }
-            if "error" not in rs and "error" not in b and b.get("wall_sec"):
+            # guard on rb (the sf1 RocksDB pass — the numerator), not rs:
+            # an errored sf1 run must not record a misleading 0.0 ratio
+            if (
+                "error" not in rb
+                and "error" not in b
+                and b.get("wall_sec")
+                and rb.get("wall_sec")
+            ):
                 ent["provider_comparison"]["rocksdb_vs_hdfs_wall_x_sf1"] = (
-                    round((rb.get("wall_sec") or 0) / b["wall_sec"], 2)
+                    round(rb["wall_sec"] / b["wall_sec"], 2)
                 )
         queries[k] = ent
 

@@ -25,9 +25,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def load_results(path: str) -> dict:
     d = json.load(open(path))
     d = d.get("results", d)
-    return {
+    out = {
         k: v for k, v in d.items() if isinstance(v, dict) and "hash_match" in v
     }
+    # a rows-only part (mode=='rows-only', hash_match=None) is a WEAKER
+    # gate than the hash sweep this tool assembles — refuse to merge it
+    # into a hash artifact rather than silently over-claim hash coverage
+    rows_only = sorted(
+        k for k, v in out.items() if v.get("mode") == "rows-only"
+    )
+    if rows_only:
+        raise SystemExit(
+            f"{path} contains rows-only entries (weaker gate) that must "
+            f"not merge into a hash-sweep artifact: {rows_only}"
+        )
+    return out
 
 
 def main() -> None:

@@ -140,10 +140,11 @@ def main() -> None:
                     "oracle_rows": n_duck,
                     "rows_match": n_spark == n_duck,
                     # rows-only keys have no feasible 100x frame compare;
-                    # record the weaker gate honestly (schema_match=None,
-                    # hash_match mirrors the count so pass-counting works)
+                    # record the weaker gate honestly: hash_match=None
+                    # (NO value comparison ran), so a rows-only part can
+                    # never be mistaken for hash coverage by a merge
                     "schema_match": None,
-                    "hash_match": n_spark == n_duck,
+                    "hash_match": None,
                     "err": None,
                 }
             else:
