@@ -57,43 +57,89 @@ FROM ranked WHERE rn = 1
 def dedup_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance dedup: each part's NEAREST near-duplicate name
     (Levenshtein ≤ {_MAX_DIST}, ties broken by smaller key) — the
-    pick-a-canonical-neighbor shape. The Levenshtein predicate only runs
-    inside head-noun equi-join blocks, never across the full cross
-    product; the length-band filter (|len diff| ≤ {_MAX_DIST}) is a free
-    lower bound on edit distance applied before the O(len²) DP.
+    pick-a-canonical-neighbor shape. The declared semantics (the oracle)
+    block on the head noun with a length band; the Spark plan computes the
+    SAME answer through the distinct-name factorization (r10 rewrite):
+
+    Distance depends only on the two name STRINGS, so the O(block²)
+    record-pair join (5e9 candidate pairs at 10x, measured — a scale
+    killer) collapses to (1) one groupBy(p_name) — the fixture has 64
+    distinct names at every scale; real dedup corpora are exactly this
+    shape, high duplication over a small value pool — (2) a distinct-name
+    × distinct-name Levenshtein (≤ 64² string DPs, driver-trivial,
+    broadcast), and (3) one broadcast join back to parts plus a map-side-
+    combinable min-struct fold. Per-record algebra is preserved exactly:
+    a cross-name candidate contributes (dist, min key of that name); a
+    same-name candidate (names with ≥ 2 records) contributes dist 0 with
+    the smallest OTHER key (min key, or the 2nd-min for the record that
+    IS the min) — together the same candidate set the record-pair join
+    ranks with ROW_NUMBER(dist, k2).
 
     Output is O(n) BY CONSTRUCTION — one best-neighbor row per matched
-    part. (The previous pair-list form emitted every matching pair: 5.5M
-    rows from 20k parts at sf0.1, because near-dup PAIR counts grow
-    quadratically inside blocks. A dedup operator whose output can exceed
-    its input is itself a scale bug; neighbor-per-record, keeper flags, or
-    cluster ids are the O(n) alternatives — this and dedup_semantic_keep /
-    dedup_cluster_cc now demonstrate all three.) The candidate join is
-    still block-bounded; the min-fold is a map-side-combinable aggregate,
-    not a window sort, in the Spark plan."""
-    p = load(spark, sf_dir, "part").select(
-        "p_partkey",
+    part. (A dedup operator whose output can exceed its input is itself a
+    scale bug; neighbor-per-record, keeper flags, or cluster ids are the
+    O(n) alternatives — this and dedup_semantic_keep / dedup_cluster_cc
+    demonstrate all three.)"""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # name-level relation: count + smallest and 2nd-smallest key per name
+    keys2 = part.groupBy("p_name").agg(
+        F.count("*").alias("c"),
+        F.min("p_partkey").alias("k1st"),
+    )
+    second = (
+        part.join(F.broadcast(keys2.select("p_name", "k1st")), "p_name")
+        .filter(F.col("p_partkey") > F.col("k1st"))
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("k2nd"))
+    )
+    names = keys2.join(F.broadcast(second), "p_name", "left").select(
         "p_name",
+        "c",
+        "k1st",
+        "k2nd",
         F.split("p_name", " ").getItem(1).alias("block"),
         F.length("p_name").alias("ln"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.block") == F.col("b.block"))
-        & (F.col("a.p_partkey") != F.col("b.p_partkey"))
-        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= _MAX_DIST),
-    )
+    # distinct-name pair distances (tiny: |names|² string DPs)
+    a, b = names.alias("a"), names.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    scored = cand.filter(dist <= _MAX_DIST).select(
-        F.col("a.p_partkey").alias("k1"),
-        F.col("a.p_name").alias("name1"),
-        dist.cast("int").alias("dist"),
-        F.col("b.p_partkey").alias("k2"),
-        F.col("b.p_name").alias("name2"),
+    cross = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") != F.col("b.p_name"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= _MAX_DIST),
+        )
+        .filter(dist <= _MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name1"),
+            dist.cast("int").alias("dist"),
+            F.col("b.k1st").alias("k2"),
+            F.col("b.p_name").alias("name2"),
+        )
     )
-    best = scored.groupBy("k1", "name1").agg(
-        F.min(F.struct("dist", "k2", "name2")).alias("m")
+    # per-record candidates: cross-name rows fan out by name1 (broadcast);
+    # same-name rows (c >= 2) contribute dist 0 with the smallest other key
+    rec = part.select(F.col("p_partkey").alias("k1"), F.col("p_name"))
+    cand_cross = rec.join(
+        F.broadcast(cross), rec.p_name == cross.name1
+    ).select("k1", F.col("p_name").alias("name1"), "dist", "k2", "name2")
+    nm = names.filter(F.col("c") >= 2).select(
+        "p_name", "k1st", "k2nd"
+    )
+    cand_same = rec.join(F.broadcast(nm), "p_name").select(
+        "k1",
+        F.col("p_name").alias("name1"),
+        F.lit(0).cast("int").alias("dist"),
+        F.when(F.col("k1") == F.col("k1st"), F.col("k2nd"))
+        .otherwise(F.col("k1st"))
+        .alias("k2"),
+        F.col("p_name").alias("name2"),
+    )
+    best = (
+        cand_cross.unionByName(cand_same)
+        .groupBy("k1", "name1")
+        .agg(F.min(F.struct("dist", "k2", "name2")).alias("m"))
     )
     return best.select(
         "k1",
