@@ -145,26 +145,7 @@ _EDGES_OVER_CS = f"""
 
 
 def staged_bfs(sf_dir: str, work: str):
-    _stage_cs(sf_dir, work)
-    _stage(
-        sf_dir,
-        work,
-        "bfs_d0",
-        "SELECT c_custkey AS node, 0 AS dist FROM customer "
-        "WHERE c_custkey % 100 = 0",
-    )
-    for k in range(1, 5):
-        _stage(
-            sf_dir,
-            work,
-            f"bfs_d{k}",
-            f"""SELECT node, MIN(dist) AS dist FROM (
-  SELECT node, dist FROM bfs_d{k - 1}
-  UNION ALL
-  SELECT e.dst AS node, d.dist + 1 AS dist
-  FROM ({_EDGES_OVER_CS}) e JOIN bfs_d{k - 1} d ON e.src = d.node
-) GROUP BY node""",
-        )
+    _stage_bfs_rounds(sf_dir, work)
     return _fetch(
         sf_dir,
         work,
@@ -544,6 +525,734 @@ def staged_scan_file_metadata(sf_dir: str, work: str):
         con.close()
 
 
+# ===========================================================================
+# Round-10 staged oracles — the 14 keys CORRECTNESS_sf10_r09.json deferred
+# (oracle_deferred: monolithic form exceeds one box / CI budget at 100x).
+# Every decomposition below is the SAME algebra as the registry oracle,
+# proven by --check / tests/test_invariants_r8.py's staged==monolithic
+# parametrization at small SF.
+# ===========================================================================
+
+
+def _stage_bfs_rounds(sf_dir: str, work: str) -> None:
+    """Shared BFS relax rounds (graph_bfs_multisource AND
+    graph_harmonic_closeness_seeds use the identical 4-round frontier:
+    same symmetrized edges, same c_custkey % 100 = 0 seeds)."""
+    _stage_cs(sf_dir, work)
+    if os.path.exists(f"{work}/bfs_d4.parquet"):
+        return
+    _stage(
+        sf_dir,
+        work,
+        "bfs_d0",
+        "SELECT c_custkey AS node, 0 AS dist FROM customer "
+        "WHERE c_custkey % 100 = 0",
+    )
+    for k in range(1, 5):
+        _stage(
+            sf_dir,
+            work,
+            f"bfs_d{k}",
+            f"""SELECT node, MIN(dist) AS dist FROM (
+  SELECT node, dist FROM bfs_d{k - 1}
+  UNION ALL
+  SELECT e.dst AS node, d.dist + 1 AS dist
+  FROM ({_EDGES_OVER_CS}) e JOIN bfs_d{k - 1} d ON e.src = d.node
+) GROUP BY node""",
+        )
+
+
+def staged_harmonic(sf_dir: str, work: str):
+    """graph_harmonic_closeness_seeds: the monolithic oracle re-derives the
+    4-round BFS closure inside one query and spills past free disk at 100x;
+    staged = the shared per-round BFS stages + a bounded histogram."""
+    _stage_bfs_rounds(sf_dir, work)
+    return _fetch(
+        sf_dir,
+        work,
+        """SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) * (1000000 // dist) AS BIGINT) AS harmonic_micro
+FROM (SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist
+      FROM bfs_d4)
+WHERE dist > 0
+GROUP BY dist""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_iterations — 3 fixed rounds over the symmetrized graph;
+# monolithic unrolled-CTE form holds every round in temp at once
+# ---------------------------------------------------------------------------
+
+
+def staged_pagerank_iterations(sf_dir: str, work: str):
+    _stage_cs(sf_dir, work)
+    _stage(
+        sf_dir,
+        work,
+        "pri_nodes",
+        f"SELECT DISTINCT src AS id FROM ({_EDGES_OVER_CS}) "
+        f"UNION SELECT DISTINCT dst FROM ({_EDGES_OVER_CS})",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "pri_deg",
+        f"SELECT src, COUNT(*) AS outdeg FROM ({_EDGES_OVER_CS}) GROUP BY src",
+    )
+    _stage(
+        sf_dir, work, "pri_r0",
+        "SELECT id, CAST(1000000 AS BIGINT) AS r FROM pri_nodes",
+    )
+    for i in range(1, 4):
+        # SUM over BIGINT is HUGEINT in DuckDB (lossy through parquet);
+        # per-node contribution mass <= total rank mass <= #nodes * 1e6
+        # (~1.6e12 at 100x), so the BIGINT cast is exact
+        _stage(
+            sf_dir,
+            work,
+            f"pri_r{i}",
+            f"""SELECT n.id, CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000
+       AS BIGINT) AS r
+FROM pri_nodes n
+LEFT JOIN (
+  SELECT e.dst AS id, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+  FROM ({_EDGES_OVER_CS}) e
+  JOIN pri_r{i - 1} r ON r.id = e.src
+  JOIN pri_deg d ON d.src = e.src
+  GROUP BY e.dst
+) c ON c.id = n.id""",
+        )
+    return _fetch(sf_dir, work, "SELECT id, r AS rank_micros FROM pri_r3")
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_converged — 14 rounds over the DIRECTED c->s graph with
+# dangling-mass redistribution and per-round convergence freezing
+# ---------------------------------------------------------------------------
+
+
+def staged_pagerank_converged(sf_dir: str, work: str):
+    _stage_cs(sf_dir, work)
+    _stage(
+        sf_dir, work, "prc_edges",
+        f"SELECT c AS src, {_OFFSET} + s AS dst FROM cs",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "prc_nodes",
+        "SELECT DISTINCT src AS id FROM prc_edges "
+        "UNION SELECT DISTINCT dst FROM prc_edges",
+    )
+    _stage(
+        sf_dir, work, "prc_deg",
+        "SELECT src, COUNT(*) AS outdeg FROM prc_edges GROUP BY src",
+    )
+    _stage(
+        sf_dir, work, "prc_r0",
+        "SELECT id, CAST(1000000 AS BIGINT) AS r FROM prc_nodes",
+    )
+    for i in range(1, 15):
+        _stage(
+            sf_dir,
+            work,
+            f"prc_s{i}",
+            f"""SELECT n.id,
+       CAST(150000 + (850 * (COALESCE(c.s, 0) + dang.dm // nn.n)) // 1000
+            AS BIGINT) AS r
+FROM prc_nodes n
+LEFT JOIN (
+  SELECT e.dst AS id, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+  FROM prc_edges e
+  JOIN prc_r{i - 1} r ON r.id = e.src
+  JOIN prc_deg d ON d.src = e.src
+  GROUP BY e.dst
+) c ON c.id = n.id,
+(SELECT COALESCE(SUM(p.r), 0) AS dm
+ FROM prc_r{i - 1} p LEFT JOIN prc_deg deg ON deg.src = p.id
+ WHERE deg.src IS NULL) dang,
+(SELECT COUNT(*) AS n FROM prc_nodes) nn""",
+        )
+        _stage(
+            sf_dir,
+            work,
+            f"prc_d{i}",
+            f"SELECT MAX(ABS(s.r - p.r)) AS d "
+            f"FROM prc_s{i} s JOIN prc_r{i - 1} p ON s.id = p.id",
+        )
+        _stage(
+            sf_dir,
+            work,
+            f"prc_r{i}",
+            f"SELECT s.id, CASE WHEN dd.d < 2000000 THEN p.r ELSE s.r END AS r "
+            f"FROM prc_s{i} s JOIN prc_r{i - 1} p ON p.id = s.id, prc_d{i} dd",
+        )
+    n_iters = " + ".join(
+        f"(CASE WHEN prc_d{i}.d >= 2000000 THEN 1 ELSE 0 END)"
+        for i in range(1, 15)
+    )
+    froms = ", ".join(f"prc_d{i}" for i in range(1, 15))
+    return _fetch(
+        sf_dir,
+        work,
+        f"SELECT r.id AS id, r.r AS rank_micros, "
+        f"CAST({n_iters} AS INT) AS n_iters FROM prc_r14 r, {froms}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_peel — 4 peel rounds on the %13-sampled symmetrized graph
+# ---------------------------------------------------------------------------
+
+
+def staged_kcore(sf_dir: str, work: str):
+    _stage(
+        sf_dir,
+        work,
+        "kc_cs",
+        "SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey % 13 = 0",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "kc_e0",
+        f"SELECT c AS src, {_OFFSET} + s AS dst FROM kc_cs "
+        f"UNION ALL SELECT {_OFFSET} + s AS src, c AS dst FROM kc_cs",
+    )
+    for i in range(1, 5):
+        _stage(
+            sf_dir,
+            work,
+            f"kc_k{i}",
+            f"SELECT src FROM (SELECT src, COUNT(*) AS c FROM kc_e{i - 1} "
+            f"GROUP BY src) WHERE c >= 4",
+        )
+        _stage(
+            sf_dir,
+            work,
+            f"kc_e{i}",
+            f"SELECT e.src, e.dst FROM kc_e{i - 1} e "
+            f"JOIN kc_k{i} a ON e.src = a.src "
+            f"JOIN kc_k{i} b ON e.dst = b.src",
+        )
+    return _fetch(
+        sf_dir,
+        work,
+        "SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM kc_e4 GROUP BY src",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation_sync — 3 synchronous rounds; the per-round
+# ROW_NUMBER(c DESC, label) rn=1 pick is re-expressed as a struct-MIN
+# argmax ({-c, label}: max count, ties to smallest label — identical order)
+# ---------------------------------------------------------------------------
+
+
+def staged_lpa(sf_dir: str, work: str):
+    _stage_cs(sf_dir, work)
+    _stage(
+        sf_dir,
+        work,
+        "lpa_l0",
+        f"SELECT DISTINCT src AS id, src AS label FROM ({_EDGES_OVER_CS})",
+    )
+    for i in range(1, 4):
+        _stage(
+            sf_dir,
+            work,
+            f"lpa_l{i}",
+            f"""SELECT id, (MIN({{'c': -c, 'l': label}})).l AS label FROM (
+  SELECT e.src AS id, l.label AS label, COUNT(*) AS c
+  FROM ({_EDGES_OVER_CS}) e JOIN lpa_l{i - 1} l ON l.id = e.dst
+  GROUP BY 1, 2
+) GROUP BY id""",
+        )
+    return _fetch(
+        sf_dir,
+        work,
+        "SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+        "FROM lpa_l3 GROUP BY label HAVING COUNT(*) > 1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_wl_refinement — 2 Weisfeiler-Leman color-refinement rounds
+# ---------------------------------------------------------------------------
+
+
+def staged_wl(sf_dir: str, work: str):
+    _stage_cs(sf_dir, work)
+    _stage(
+        sf_dir,
+        work,
+        "wl_c0",
+        f"SELECT src AS v, CAST(COUNT(*) AS VARCHAR) AS col "
+        f"FROM ({_EDGES_OVER_CS}) GROUP BY 1",
+    )
+    for i in (1, 2):
+        _stage(
+            sf_dir,
+            work,
+            f"wl_c{i}",
+            f"""SELECT e.src AS v,
+       substring(md5(cv.col || '|' ||
+                     string_agg(cn.col, ',' ORDER BY cn.col)), 1, 8) AS col
+FROM ({_EDGES_OVER_CS}) e
+JOIN wl_c{i - 1} cv ON cv.v = e.src
+JOIN wl_c{i - 1} cn ON cn.v = e.dst
+GROUP BY e.src, cv.col""",
+        )
+    return _fetch(
+        sf_dir,
+        work,
+        """SELECT * FROM (
+  SELECT CAST(0 AS INT) AS round,
+         CAST(COUNT(DISTINCT col) AS BIGINT) AS n_colors,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes FROM wl_c0
+  UNION ALL
+  SELECT 1, CAST(COUNT(DISTINCT col) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM wl_c1
+  UNION ALL
+  SELECT 2, CAST(COUNT(DISTINCT col) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM wl_c2
+)""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_random_walks_hash — 4 uniform hash-seeded steps; per-step the
+# neighbor ranking window is computed only over the frontier's partitions
+# (ROW_NUMBER per src is unaffected by dropping other partitions — exact)
+# ---------------------------------------------------------------------------
+
+
+def _rw_step(prev: str, salt: str) -> str:
+    return f"""SELECT s.walk_id, r.dst AS cur,
+       s.path || '>' || CAST(r.dst AS VARCHAR) AS path
+FROM {prev} s JOIN (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS outdeg
+  FROM ({_EDGES_OVER_CS})
+  WHERE src IN (SELECT cur FROM {prev})
+) r ON s.cur = r.src
+   AND r.idx = CAST(('0x' || substring(md5(CAST(s.walk_id AS VARCHAR)
+       || '{salt}' || CAST(s.cur AS VARCHAR)), 1, 15)) AS BIGINT) % r.outdeg"""
+
+
+def staged_random_walks(sf_dir: str, work: str):
+    _stage_cs(sf_dir, work)
+    _stage(
+        sf_dir,
+        work,
+        "rw_s0",
+        f"SELECT DISTINCT src AS walk_id, src AS cur, "
+        f"CAST(src AS VARCHAR) AS path FROM ({_EDGES_OVER_CS}) "
+        f"WHERE src <= 20",
+    )
+    for i in range(1, 5):
+        _stage(sf_dir, work, f"rw_s{i}", _rw_step(f"rw_s{i - 1}", f"_s{i}_"))
+    return _fetch(
+        sf_dir, work,
+        "SELECT walk_id, cur AS end_node, path FROM rw_s4",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_node2vec_biased_walk — 4 p/q-biased steps; step 1 is uniform over
+# the ranked neighbor list, steps 2-4 weight candidates (return=2,
+# triangle=6, explore=3) and pick by cumulative-weight hash
+# ---------------------------------------------------------------------------
+
+
+def _n2v_step(prev: str, i: int) -> str:
+    return f"""SELECT walk_id, cur AS prev, cand AS cur,
+       path || '>' || CAST(cand AS VARCHAR) AS path
+FROM (
+  SELECT walk_id, cur, path, cand, w,
+         CAST(COALESCE(SUM(w) OVER (PARTITION BY walk_id ORDER BY cand
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cumw,
+         CAST(SUM(w) OVER (PARTITION BY walk_id) AS BIGINT) AS tot
+  FROM (
+    SELECT s.walk_id, s.prev, s.cur, s.path, e.dst AS cand,
+           CASE WHEN e.dst = s.prev THEN 2
+                WHEN chk.dst IS NOT NULL THEN 6
+                ELSE 3 END AS w
+    FROM {prev} s
+    JOIN ({_EDGES_OVER_CS}) e ON e.src = s.cur
+    LEFT JOIN ({_EDGES_OVER_CS}) chk
+      ON chk.src = s.prev AND chk.dst = e.dst
+  )
+)
+WHERE CAST(('0x' || substring(md5(CAST(walk_id AS VARCHAR) || '_n2v{i}_'
+        || CAST(cur AS VARCHAR)), 1, 15)) AS BIGINT) % tot >= cumw
+  AND CAST(('0x' || substring(md5(CAST(walk_id AS VARCHAR) || '_n2v{i}_'
+        || CAST(cur AS VARCHAR)), 1, 15)) AS BIGINT) % tot < cumw + w"""
+
+
+def staged_node2vec(sf_dir: str, work: str):
+    _stage_cs(sf_dir, work)
+    _stage(
+        sf_dir,
+        work,
+        "n2v_s1",
+        f"""SELECT r.src AS walk_id, r.src AS prev, r.dst AS cur,
+       CAST(r.src AS VARCHAR) || '>' || CAST(r.dst AS VARCHAR) AS path
+FROM (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS outdeg
+  FROM ({_EDGES_OVER_CS}) WHERE src <= 10
+) r
+JOIN (SELECT DISTINCT src AS walk_id, src AS cur
+      FROM ({_EDGES_OVER_CS}) WHERE src <= 10) s0
+  ON s0.cur = r.src
+ AND r.idx = CAST(('0x' || substring(md5(CAST(s0.walk_id AS VARCHAR)
+     || '_n2v1_' || CAST(s0.cur AS VARCHAR)), 1, 15)) AS BIGINT)
+     % r.outdeg""",
+    )
+    for i in (2, 3, 4):
+        _stage(sf_dir, work, f"n2v_s{i}", _n2v_step(f"n2v_s{i - 1}", i))
+    return _fetch(
+        sf_dir, work,
+        "SELECT walk_id, cur AS end_node, path FROM n2v_s4",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — wedge join sliced by the MIDDLE node (e1.s2 =
+# e2.s1): each slice bounds BOTH wedge legs; every wedge has exactly one
+# middle, so slice counts partition the triangle count exactly
+# ---------------------------------------------------------------------------
+
+_TRI_SLICES = 16
+
+
+def staged_triangle(sf_dir: str, work: str):
+    _stage(
+        sf_dir,
+        work,
+        "tri_pairs",
+        "SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2 "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey",
+    )
+    for i in range(_TRI_SLICES):
+        _stage(
+            sf_dir,
+            work,
+            f"tri_t{i}",
+            f"""SELECT CAST(COUNT(*) AS BIGINT) AS c
+FROM (SELECT s1, s2 FROM tri_pairs WHERE s2 % {_TRI_SLICES} = {i}) e1
+JOIN (SELECT s1, s2 FROM tri_pairs WHERE s1 % {_TRI_SLICES} = {i}) e2
+  ON e2.s1 = e1.s2
+JOIN tri_pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2""",
+        )
+    total = " + ".join(
+        f"(SELECT c FROM tri_t{i})" for i in range(_TRI_SLICES)
+    )
+    return _fetch(
+        sf_dir,
+        work,
+        f"SELECT CAST((SELECT COUNT(*) FROM tri_pairs) AS BIGINT) AS n_edges, "
+        f"CAST({total} AS BIGINT) AS n_triangles",
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode_exact — two bounded stages: the (custkey, priority) count
+# relation to parquet, then the per-custkey struct-MAX argmax (the
+# monolithic single query OOM-killed the shared-box sweep twice)
+# ---------------------------------------------------------------------------
+
+
+def staged_mode(sf_dir: str, work: str):
+    _stage(
+        sf_dir,
+        work,
+        "mode_c",
+        "SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt "
+        "FROM orders GROUP BY o_custkey, o_orderpriority",
+    )
+    return _fetch(
+        sf_dir,
+        work,
+        """SELECT o_custkey,
+       (MAX({'c': cnt, 'p': o_orderpriority})).p AS mode_priority,
+       CAST(MAX(cnt) AS BIGINT) AS mode_count
+FROM mode_c GROUP BY o_custkey""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — the monolithic oracle's per-doc list-comprehension
+# shingler is lambda-interpreted (>20 min single-core at 100x); the staged
+# twin derives the SAME shingles (4-token windows, i in [1, len-3] — the
+# registry oracle's toks[i:i+3] slice is INCLUSIVE on both ends) through a
+# vectorized positional self-join, then the same hash/pair/jaccard algebra
+# ---------------------------------------------------------------------------
+
+
+def staged_simhash(sf_dir: str, work: str):
+    _stage(
+        sf_dir,
+        work,
+        "ssh_tok",
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+        "generate_subscripts(string_split(text, ' '), 1) AS i "
+        "FROM documents",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "ssh_sh",
+        """SELECT doc_id,
+       CAST(('0x' || substring(md5(s0), 1, 15)) AS BIGINT) AS s
+FROM (
+  SELECT DISTINCT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w AS s0
+  FROM ssh_tok a
+  JOIN ssh_tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN ssh_tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+  JOIN ssh_tok d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+)""",
+    )
+    _stage(
+        sf_dir, work, "ssh_n",
+        "SELECT doc_id, COUNT(*) AS nsh FROM ssh_sh GROUP BY doc_id",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "ssh_p",
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common "
+        "FROM ssh_sh a JOIN ssh_sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id",
+    )
+    return _fetch(
+        sf_dir,
+        work,
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(1 AS INT) AS recall_ok
+FROM (
+  SELECT a_id, b_id,
+         ROUND(common * 1.0 / (na.nsh + nb.nsh - common), 6) AS jac
+  FROM ssh_p p
+  JOIN ssh_n na ON na.doc_id = p.a_id
+  JOIN ssh_n nb ON nb.doc_id = p.b_id
+  WHERE common * 1.0 / (na.nsh + nb.nsh - common) >= 0.97
+)""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_editdistance_blocked — distinct-name factorization (same algebra
+# the Spark operator uses since r10): distance depends only on the name
+# strings and the fixture has 64 distinct names at every SF, so the
+# O(block²) record-pair join (5e9 pairs at 10x) collapses to a 64×64
+# name-level Levenshtein plus a per-record candidate expansion
+# ---------------------------------------------------------------------------
+
+
+def staged_editdistance(sf_dir: str, work: str):
+    _stage(
+        sf_dir,
+        work,
+        "ed_names",
+        "SELECT p_name, COUNT(*) AS c, MIN(p_partkey) AS k1st "
+        "FROM part GROUP BY 1",
+    )
+    _stage(
+        sf_dir,
+        work,
+        "ed_second",
+        "SELECT p.p_name, MIN(p.p_partkey) AS k2nd "
+        "FROM part p JOIN ed_names n ON n.p_name = p.p_name "
+        "WHERE p.p_partkey > n.k1st GROUP BY 1",
+    )
+    return _fetch(
+        sf_dir,
+        work,
+        """WITH names AS (
+  SELECT n.p_name, n.c, n.k1st, s.k2nd,
+         string_split(n.p_name, ' ')[2] AS block,
+         length(n.p_name) AS ln
+  FROM ed_names n LEFT JOIN ed_second s ON s.p_name = n.p_name
+),
+cross_nm AS (
+  SELECT a.p_name AS name1,
+         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+         b.k1st AS k2, b.p_name AS name2
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.p_name <> b.p_name
+   AND abs(a.ln - b.ln) <= 2
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+rec AS (SELECT p_partkey AS k1, p_name FROM part),
+cand AS (
+  SELECT r.k1, r.p_name AS name1, c.dist, c.k2, c.name2
+  FROM rec r JOIN cross_nm c ON c.name1 = r.p_name
+  UNION ALL
+  SELECT r.k1, r.p_name, CAST(0 AS INTEGER),
+         CASE WHEN r.k1 = n.k1st THEN n.k2nd ELSE n.k1st END, r.p_name
+  FROM rec r JOIN names n ON n.p_name = r.p_name AND n.c >= 2
+),
+best AS (
+  SELECT k1, name1, MIN((dist, k2, name2)) AS m FROM cand GROUP BY 1, 2
+)
+SELECT k1, name1, m[2] AS nearest_key, m[3] AS nearest_name, m[1] AS dist
+FROM best""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# simsearch_pq_adc — the monolithic oracle's per-(vector, centroid)
+# list_reduce lambdas are interpreter-bound (same class as
+# embed_jl_projection's ~50 min); the staged twin UNROLLS each 16-term
+# subspace fold into an explicit left-nested expression — IDENTICAL fp
+# addition order ((((0.0+t1)+t2)+...)+t16), fully vectorized
+# ---------------------------------------------------------------------------
+
+
+def _pq_fold(lo: int, hi: int, a: str, b: str) -> str:
+    """((((0.0 + t_lo) + t_lo+1) ... ) + t_hi) with t_k = (a[k]-b[k])^2 —
+    the exact left fold list_reduce(list_prepend(0.0, ...)) performs."""
+    expr = "CAST(0.0 AS DOUBLE)"
+    for k in range(lo, hi + 1):
+        t = (
+            f"(CAST({a}[{k}] AS DOUBLE) - CAST({b}[{k}] AS DOUBLE))"
+            f" * (CAST({a}[{k}] AS DOUBLE) - CAST({b}[{k}] AS DOUBLE))"
+        )
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def staged_pq_adc(sf_dir: str, work: str):
+    dd = [
+        _pq_fold(16 * m + 1, 16 * m + 16, "e.embedding", "c.embedding")
+        for m in range(4)
+    ]
+    _stage(
+        sf_dir,
+        work,
+        "pq_codes",
+        f"""SELECT vec_id, m, (MIN((d2, c_id)))[2] AS code
+FROM (
+  SELECT d.vec_id, d.c_id, u.m,
+         CASE u.m WHEN 0 THEN d.dd0 WHEN 1 THEN d.dd1
+                  WHEN 2 THEN d.dd2 ELSE d.dd3 END AS d2
+  FROM (
+    SELECT e.vec_id, c.vec_id AS c_id,
+           {dd[0]} AS dd0, {dd[1]} AS dd1, {dd[2]} AS dd2, {dd[3]} AS dd3
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c
+  ) d
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) u
+) GROUP BY 1, 2""",
+    )
+    lut = [
+        _pq_fold(16 * m + 1, 16 * m + 16, "q.embedding", "c.embedding")
+        for m in range(4)
+    ]
+    return _fetch(
+        sf_dir,
+        work,
+        f"""WITH lutd AS (
+  SELECT c.vec_id AS c_id,
+         {lut[0]} AS l0, {lut[1]} AS l1, {lut[2]} AS l2, {lut[3]} AS l3
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 100) q
+),
+lut AS (
+  SELECT c_id, 0 AS m, l0 AS lv FROM lutd
+  UNION ALL SELECT c_id, 1, l1 FROM lutd
+  UNION ALL SELECT c_id, 2, l2 FROM lutd
+  UNION ALL SELECT c_id, 3, l3 FROM lutd
+),
+adc AS (
+  SELECT k.vec_id,
+         MIN(CASE WHEN k.m = 0 THEN l.lv END) AS a0,
+         MIN(CASE WHEN k.m = 1 THEN l.lv END) AS a1,
+         MIN(CASE WHEN k.m = 2 THEN l.lv END) AS a2,
+         MIN(CASE WHEN k.m = 3 THEN l.lv END) AS a3
+  FROM pq_codes k JOIN lut l ON l.m = k.m AND l.c_id = k.code
+  GROUP BY k.vec_id
+)
+SELECT vec_id, ROUND(((a0 + a1) + a2) + a3, 6) AS adc_dist2_r6
+FROM adc
+WHERE vec_id <> 100
+ORDER BY ((a0 + a1) + a2) + a3 ASC, vec_id ASC
+LIMIT 10""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_pca_power_iter — the monolithic Gram build (CROSS JOIN UNNEST ×
+# UNNEST = n·d² rows materialized at once) spilled >70 GB at 100x; staged:
+# one bounded scan per row-index i (n·d rows each), identical integer-
+# micro rounding, then the tiny (d², 4096-row) power-iteration algebra
+# verbatim from the monolithic oracle
+# ---------------------------------------------------------------------------
+
+
+def staged_pca(sf_dir: str, work: str):
+    ndim = int(
+        _fetch(sf_dir, work, "SELECT len(embedding) AS d FROM embeddings LIMIT 1")[
+            "d"
+        ].iloc[0]
+    )
+    for i in range(1, ndim + 1):
+        _stage(
+            sf_dir,
+            work,
+            f"pca_tri_{i}",
+            f"""SELECT {i} AS i, j,
+       ROUND(SUM(CAST(ROUND(CAST(e.embedding[{i}] AS DOUBLE)
+                            * CAST(e.embedding[j] AS DOUBLE) * 1e12)
+                      AS BIGINT)) / 1e12, 6) AS g
+FROM embeddings e
+CROSS JOIN UNNEST(range({i}, len(e.embedding) + 1)) AS b(j)
+GROUP BY j""",
+        )
+    union = " UNION ALL ".join(
+        f"SELECT i, j, g FROM pca_tri_{i}" for i in range(1, ndim + 1)
+    )
+    _stage(sf_dir, work, "pca_tri", union)
+    return _fetch(
+        sf_dir,
+        work,
+        """WITH gram AS (
+  SELECT i, j, g FROM pca_tri
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM pca_tri WHERE j > i
+),
+v1 AS (
+  SELECT i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(g ORDER BY j)), (a, b) -> a + b) AS val
+  FROM gram GROUP BY i
+),
+y2 AS (
+  SELECT gram.i AS i,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(gram.g * v1.val ORDER BY gram.j)), (a, b) -> a + b) AS val
+  FROM gram JOIN v1 ON v1.i = gram.j GROUP BY gram.i
+),
+nrm AS (
+  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(val * val ORDER BY i)), (a, b) -> a + b)) AS n
+  FROM y2
+)
+SELECT CAST(y2.i AS INTEGER) AS dim, ROUND(y2.val / nrm.n, 6) AS pc1
+FROM y2, nrm""",
+    )
+
+
 STAGED_ORACLES = {
     "graph_bfs_multisource": staged_bfs,
     "graph_ppr_seed_teleport": staged_ppr,
@@ -554,6 +1263,21 @@ STAGED_ORACLES = {
     "scan_dir_enumerate": staged_scan_dir_enumerate,
     "scan_file_metadata_cols": staged_scan_file_metadata,
     "query_skyline_pareto": staged_skyline,
+    # round-10 additions: the 14 keys CORRECTNESS_sf10_r09 deferred
+    "graph_harmonic_closeness_seeds": staged_harmonic,
+    "graph_pagerank_iterations": staged_pagerank_iterations,
+    "graph_pagerank_converged": staged_pagerank_converged,
+    "graph_kcore_peel": staged_kcore,
+    "graph_label_propagation_sync": staged_lpa,
+    "graph_wl_refinement": staged_wl,
+    "graph_random_walks_hash": staged_random_walks,
+    "graph_node2vec_biased_walk": staged_node2vec,
+    "graph_triangle_count": staged_triangle,
+    "agg_mode_exact": staged_mode,
+    "dedup_simhash": staged_simhash,
+    "dedup_editdistance_blocked": staged_editdistance,
+    "simsearch_pq_adc": staged_pq_adc,
+    "embed_pca_power_iter": staged_pca,
 }
 
 
