@@ -225,7 +225,7 @@ class PredicateGen:
     one ``random.Random`` — a CI failure reproduces from the seed alone.
     """
 
-    def __init__(self, table: str, seed: int):
+    def __init__(self, table: str, seed: int, profile: str = "default"):
         self.t = FUZZ_TABLES[table]
         # zlib.crc32 is process-stable (builtin hash() is salted per run,
         # which would void determinism: a CI failure must reproduce from
@@ -233,6 +233,11 @@ class PredicateGen:
         table_salt = zlib.crc32(table.encode("utf-8")) & 0xFFFF
         self.rng = random.Random(table_salt * 1_000_003 + seed)
         self.table = table
+        # "hostile": the fixture carries non-ASCII text, so ops whose
+        # divergence was excludable only because the data was all-ASCII
+        # (X5: UPPER/LOWER locale one-to-many case mapping) leave the
+        # grammar — there is no faithful dual rendering for them.
+        self.profile = profile
 
     # -- helpers ------------------------------------------------------------
     def _pick(self, options):
@@ -414,8 +419,6 @@ class PredicateGen:
             return self._pick(leafs)
         r = self.rng
         comps = [
-            (0.8, lambda: Sql(*(f"UPPER({s})" for s in self.gen_str(depth - 1)))),
-            (0.8, lambda: Sql(*(f"LOWER({s})" for s in self.gen_str(depth - 1)))),
             (0.5, lambda: Sql(*(f"TRIM({s})" for s in self.gen_str(depth - 1)))),
             # X1: `||` propagates NULL in both; CONCAT() does not in Duck
             (0.8, lambda: Sql(
@@ -437,6 +440,15 @@ class PredicateGen:
                 *(f"NULLIF({a}, {b})" for a, b in zip(
                     self.gen_str(depth - 1), self.gen_str(depth - 1))))),
         ]
+        if self.profile != "hostile":
+            # X5: only the all-ASCII default fixture keeps case mapping in
+            # the grammar; 'ß' etc. have no faithful dual rendering
+            comps = [
+                (0.8, lambda: Sql(
+                    *(f"UPPER({s})" for s in self.gen_str(depth - 1)))),
+                (0.8, lambda: Sql(
+                    *(f"LOWER({s})" for s in self.gen_str(depth - 1)))),
+            ] + comps
         if self.t["json"]:
             comps.append((1.0, lambda: self._json(depth)))
         return self._pick(leafs + comps)
@@ -653,9 +665,11 @@ class PredicateGen:
         return self._pick(leafs + comps)
 
 
-def gen_predicate(table: str, seed: int, depth: int = 4) -> Sql:
+def gen_predicate(
+    table: str, seed: int, depth: int = 4, profile: str = "default"
+) -> Sql:
     """One seeded boolean predicate over `table`, rendered for both engines."""
-    return PredicateGen(table, seed).gen_bool(depth)
+    return PredicateGen(table, seed, profile=profile).gen_bool(depth)
 
 
 def fingerprint_sql(table: str, preds: list[Sql], dialect: str) -> str:
@@ -677,3 +691,180 @@ def fingerprint_sql(table: str, preds: list[Sql], dialect: str) -> str:
             f"CAST(SUM(CASE WHEN ({q}) THEN {key} ELSE 0 END) AS BIGINT) AS s{i}"
         )
     return "SELECT " + ",\n       ".join(cols) + f"\nFROM {table}"
+
+
+# ===========================================================================
+# Round-10 widening: the reference's declared contract is ANY DuckDB SQL
+# through con.SendQuery (main.cc:181-182), not just the WHERE slot. Three
+# more generated slots — SELECT-list scalar expressions, single-key
+# GROUP BY + aggregate, ORDER BY + LIMIT — each compiled to a ONE-ROW
+# order-insensitive fingerprint so a whole batch is one query per engine.
+#
+# Fingerprint discipline (SURVEY §5.4 / memory ledger): everything that
+# crosses the compare boundary is routed to BIGINT. Doubles are clamped to
+# ±1e9 (LEAST/GREATEST skip NULLs identically in both engines; NaN/Inf
+# clamp to the bound in both) then ROUND(x*1000) — per-row double
+# arithmetic is bit-identical across the engines for every op the grammar
+# admits (X7 pins the exceptions out), so the clamp+round is the same
+# function of the same bits. Strings fingerprint through md5 (same
+# algorithm both sides; D7 covers int->string casts inside group keys).
+# Timestamps fingerprint as epoch microseconds mod 1e9.
+# ===========================================================================
+
+
+def _md5_int(s: Sql, nhex: int = 10) -> Sql:
+    """First `nhex` hex chars of md5(s) as a BIGINT, dual-rendered.
+    nhex=10 -> 40 bits: sums over 60k rows stay far inside int64."""
+    return Sql(
+        f"CAST(('0x' || substring(md5({s.duck}), 1, {nhex})) AS BIGINT)",
+        f"CAST(CONV(SUBSTRING(md5(CAST({s.spark} AS BINARY)), 1, {nhex}), "
+        f"16, 10) AS BIGINT)",
+    )
+
+
+def _fp_terms(kind: str, e: Sql, i: int) -> list[tuple[str, str, str]]:
+    """Fingerprint columns for one SELECT-list expression: a list of
+    (alias, duck_expr, spark_expr) one-row aggregates."""
+    cols = [(
+        f"c{i}",
+        f"CAST(SUM(CASE WHEN ({e.duck}) IS NOT NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT)",
+        f"CAST(SUM(CASE WHEN ({e.spark}) IS NOT NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT)",
+    )]
+    if kind == "int":
+        cols.append((
+            f"s{i}",
+            f"CAST(SUM(COALESCE({e.duck}, 0)) AS BIGINT)",
+            f"CAST(SUM(COALESCE({e.spark}, 0)) AS BIGINT)",
+        ))
+    elif kind == "double":
+        clamp_d = f"LEAST(GREATEST({e.duck}, -1e9), 1e9)"
+        clamp_s = f"LEAST(GREATEST({e.spark}, -1e9), 1e9)"
+        cols.append((
+            f"s{i}",
+            f"CAST(SUM(CASE WHEN ({e.duck}) IS NOT NULL THEN "
+            f"CAST(ROUND({clamp_d} * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)",
+            f"CAST(SUM(CASE WHEN ({e.spark}) IS NOT NULL THEN "
+            f"CAST(ROUND({clamp_s} * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)",
+        ))
+    elif kind == "str":
+        h = _md5_int(e)
+        cols.append((
+            f"s{i}",
+            f"CAST(SUM({h.duck}) AS BIGINT)",
+            f"CAST(SUM({h.spark}) AS BIGINT)",
+        ))
+    else:  # ts
+        cols.append((
+            f"s{i}",
+            f"CAST(SUM(epoch_us({e.duck}) % 1000000000) AS BIGINT)",
+            # fixture timestamps are TIMESTAMP_NTZ on the Spark side; the
+            # session is UTC, so CAST .. AS TIMESTAMP == DuckDB's naive
+            # epoch_us interpretation
+            f"CAST(SUM(unix_micros(CAST(({e.spark}) AS TIMESTAMP)) "
+            f"% 1000000000) AS BIGINT)",
+        ))
+    return cols
+
+
+def gen_select_batch(
+    table: str, seed: int, n_exprs: int = 8, profile: str = "default"
+) -> Sql:
+    """One dual-rendered one-row query fingerprinting `n_exprs` generated
+    SELECT-list scalar expressions over `table` (the projection slot)."""
+    g = PredicateGen(table, seed + 1_000_000, profile=profile)
+    cols: list[tuple[str, str, str]] = []
+    kinds = ["int", "double", "str", "ts"]
+    for i in range(n_exprs):
+        kind = g.rng.choice(kinds if g.t["ts"] else kinds[:3])
+        e = {
+            "int": g.gen_int,
+            "double": g.gen_num,
+            "str": g.gen_str,
+            "ts": g.gen_ts,
+        }[kind](3)
+        cols.extend(_fp_terms(kind, e, i))
+    duck = "SELECT " + ", ".join(f"{d} AS {a}" for a, d, _ in cols)
+    spark = "SELECT " + ", ".join(f"{s} AS {a}" for a, _, s in cols)
+    return Sql(f"{duck} FROM {table}", f"{spark} FROM {table}")
+
+
+def gen_groupagg(table: str, seed: int, profile: str = "default") -> Sql:
+    """Single-key GROUP BY over a generated key expression with COUNT(*)
+    plus SUM over a generated int expression, fingerprinted order-
+    insensitively: md5 each (key, count, sum) group row rendered through
+    exact BIGINT->string casts (D7: identical text both engines), then
+    COUNT + SUM of the row hashes."""
+    g = PredicateGen(table, seed + 2_000_000, profile=profile)
+    r = g.rng
+    if r.random() < 0.5:
+        # low-cardinality integer key: fuzzed int expr mod small k
+        # (D2: TRY_MOD on the Spark side, % on the Duck side)
+        k = r.randint(2, 9)
+        e = g.gen_int(2)
+        key = Sql(f"(({e.duck}) % {k})", f"TRY_MOD(({e.spark}), {k})")
+        key_s = Sql(
+            f"COALESCE(CAST({key.duck} AS VARCHAR), 'N')",
+            f"COALESCE(CAST({key.spark} AS STRING), 'N')",
+        )
+    else:
+        e = g.gen_str(2)
+        key = e
+        key_s = Sql(
+            f"COALESCE({key.duck}, 'N')", f"COALESCE({key.spark}, 'N')"
+        )
+    agg = g.gen_int(2)
+    inner_d = (
+        f"SELECT {key_s.duck} AS k, CAST(COUNT(*) AS BIGINT) AS c, "
+        f"CAST(SUM(COALESCE({agg.duck}, 0)) AS BIGINT) AS s "
+        f"FROM {table} GROUP BY {key.duck}, {key_s.duck}"
+    )
+    inner_s = (
+        f"SELECT {key_s.spark} AS k, CAST(COUNT(*) AS BIGINT) AS c, "
+        f"CAST(SUM(COALESCE({agg.spark}, 0)) AS BIGINT) AS s "
+        f"FROM {table} GROUP BY {key.spark}, {key_s.spark}"
+    )
+    rowtxt_d = "k || '|' || CAST(c AS VARCHAR) || '|' || CAST(s AS VARCHAR)"
+    rowtxt_s = "k || '|' || CAST(c AS STRING) || '|' || CAST(s AS STRING)"
+    h_d = _md5_int(Sql(rowtxt_d, rowtxt_s)).duck
+    h_s = _md5_int(Sql(rowtxt_d, rowtxt_s)).spark
+    return Sql(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS ng, "
+        f"CAST(SUM({h_d}) AS BIGINT) AS hsum FROM ({inner_d})",
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS ng, "
+        f"CAST(SUM({h_s}) AS BIGINT) AS hsum FROM ({inner_s})",
+    )
+
+
+def gen_orderlimit(table: str, seed: int, profile: str = "default") -> Sql:
+    """ORDER BY a generated expression + LIMIT, fingerprinted as the
+    position-weighted key sum of the top-n rows. NULL placement is pinned
+    EXPLICITLY (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST), and
+    the table key breaks ties so the order is total — the rank-discipline
+    rule from the oracle-parity ledger."""
+    g = PredicateGen(table, seed + 3_000_000, profile=profile)
+    r = g.rng
+    kind = r.choice(["int", "double", "str", "ts"] if g.t["ts"]
+                    else ["int", "double", "str"])
+    e = {
+        "int": g.gen_int,
+        "double": g.gen_num,
+        "str": g.gen_str,
+        "ts": g.gen_ts,
+    }[kind](3)
+    key = FUZZ_TABLES[table]["key"]
+    direction = r.choice(["ASC", "DESC"])
+    nulls = r.choice(["NULLS FIRST", "NULLS LAST"])
+    n = r.randint(5, 50)
+
+    def q(expr: str) -> str:
+        return (
+            f"SELECT CAST(SUM(rn * k) AS BIGINT) AS f, "
+            f"CAST(COUNT(*) AS BIGINT) AS c FROM ("
+            f"SELECT {key} AS k, ROW_NUMBER() OVER (ORDER BY ({expr}) "
+            f"{direction} {nulls}, {key} ASC) AS rn FROM {table}"
+            f") WHERE rn <= {n}"
+        )
+
+    return Sql(q(e.duck), q(e.spark))

@@ -217,3 +217,47 @@ def test_trap_d4_dayofweek_offset(spark):
     # 2024-03-15 is a Friday: Duck 5 (Sun=0), Spark 6 (Sun=1)
     assert _duck1("DAYOFWEEK(TIMESTAMP '2024-03-15')") == 5
     assert _spark1(spark, "DAYOFWEEK(TIMESTAMP '2024-03-15')") == 6
+
+
+# ---------------------------------------------------------------------------
+# Round-10 widening: the declared contract is ANY DuckDB SQL through
+# con.SendQuery (main.cc:181-182) — fuzz the SELECT-list, GROUP BY, and
+# ORDER BY + LIMIT slots too, not just WHERE. Fingerprints are one-row
+# BIGINT aggregates (see fuzzing.py round-10 section for the discipline).
+# ---------------------------------------------------------------------------
+
+SEL_SEEDS = 5     # x 6 tables x 8 exprs = 240 select-list expressions
+GRP_SEEDS = 10    # x 6 tables = 60 group-by queries
+ORD_SEEDS = 10    # x 6 tables = 60 order-limit queries
+
+
+def _run_pair(spark, con, table: str, q, label: str):
+    ssql = q.spark.replace(f"FROM {table}", f"FROM fuzz_{table}")
+    dsql = q.duck.replace(f"FROM {table}", f"FROM fuzz_{table}")
+    srow = tuple(spark.sql(ssql).collect()[0])
+    drow = tuple(con.execute(dsql).fetchone())
+    assert srow == drow, (
+        f"{label}: spark {srow} != duck {drow}\n"
+        f"  spark: {ssql[:500]}\n  duck:  {dsql[:500]}"
+    )
+
+
+@pytest.mark.parametrize("table", TABLES)
+@pytest.mark.parametrize("seed", range(SEL_SEEDS))
+def test_fuzz_select_exprs(spark, views, table, seed):
+    q = fuzzing.gen_select_batch(table, seed)
+    _run_pair(spark, views, table, q, f"select {table} seed={seed}")
+
+
+@pytest.mark.parametrize("table", TABLES)
+@pytest.mark.parametrize("seed", range(GRP_SEEDS))
+def test_fuzz_group_agg(spark, views, table, seed):
+    q = fuzzing.gen_groupagg(table, seed)
+    _run_pair(spark, views, table, q, f"group {table} seed={seed}")
+
+
+@pytest.mark.parametrize("table", TABLES)
+@pytest.mark.parametrize("seed", range(ORD_SEEDS))
+def test_fuzz_order_limit(spark, views, table, seed):
+    q = fuzzing.gen_orderlimit(table, seed)
+    _run_pair(spark, views, table, q, f"order {table} seed={seed}")

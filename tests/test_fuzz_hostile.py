@@ -1,0 +1,87 @@
+"""Hostile-fixture fuzz differential (round-10 verdict ask #4).
+
+The clean fixtures are all-ASCII and NULL-light — which is why X5
+(Unicode case mapping) was excludable and why D8 (SPLIT_PART
+NULL-swallowing) hid for 18,000 predicates. This leg re-runs the seeded
+differential over DETERMINISTIC hostile twins of the six fuzz tables
+(c2_duckdb_runner_spark/hostile.py): ~20% NULLs everywhere, empty and
+non-ASCII strings, NaN/±inf/±1e308/-0.0/subnormal doubles, extreme int64
+magnitudes, quote/backslash strings.
+
+Grammar profile "hostile" drops UPPER/LOWER (X5 has no faithful dual
+rendering once 'ß' is in the data); every other D-rendering must hold on
+this data too. Divergences this leg found at introduction are ledgered as
+H1.. in fuzzing.py's module docstring-adjacent FUZZFINDINGS section of
+PERFORMANCE.md and pinned as trap tests below.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from c2_duckdb_runner_spark import fuzzing, hostile
+from c2_duckdb_runner_spark.tables import load  # noqa: F401 (parity w/ clean leg)
+
+N_SEEDS = 60
+BATCH = 30
+TABLES = list(fuzzing.FUZZ_TABLES)
+
+
+@pytest.fixture(scope="module")
+def hostile_views(spark, sf_dir, tmp_path_factory):
+    """Build the hostile twins once, register on both engines."""
+    out = str(tmp_path_factory.mktemp("hostile_fixtures"))
+    hostile.make_hostile_fixtures(sf_dir, out)
+    for t in TABLES:
+        spark.read.parquet(f"{out}/{t}.parquet").createOrReplaceTempView(
+            f"hz_{t}"
+        )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW hz_{t} AS SELECT * FROM '{out}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _run_batch(spark, con, table: str, seeds: list[int]):
+    preds = [
+        fuzzing.gen_predicate(table, s, profile="hostile") for s in seeds
+    ]
+    ssql = fuzzing.fingerprint_sql(table, preds, "spark").replace(
+        f"FROM {table}", f"FROM hz_{table}"
+    )
+    dsql = fuzzing.fingerprint_sql(table, preds, "duck").replace(
+        f"FROM {table}", f"FROM hz_{table}"
+    )
+    srow = spark.sql(ssql).collect()[0]
+    drow = con.execute(dsql).fetchone()
+    for i, s in enumerate(seeds):
+        a = (srow[2 * i], srow[2 * i + 1])
+        b = (drow[2 * i], drow[2 * i + 1])
+        assert a == b, (
+            f"hostile {table} seed={s}: spark {a} != duck {b}\n"
+            f"  spark: {preds[i].spark}\n  duck:  {preds[i].duck}"
+        )
+
+
+@pytest.mark.parametrize("table", TABLES)
+@pytest.mark.parametrize("lo", range(0, N_SEEDS, BATCH))
+def test_hostile_fuzz_predicates(spark, hostile_views, table, lo):
+    _run_batch(spark, hostile_views, table, list(range(lo, lo + BATCH)))
+
+
+@pytest.mark.parametrize("table", TABLES)
+@pytest.mark.parametrize("seed", range(3))
+def test_hostile_fuzz_select_exprs(spark, hostile_views, table, seed):
+    q = fuzzing.gen_select_batch(table, seed, profile="hostile")
+    ssql = q.spark.replace(f"FROM {table}", f"FROM hz_{table}")
+    dsql = q.duck.replace(f"FROM {table}", f"FROM hz_{table}")
+    srow = tuple(spark.sql(ssql).collect()[0])
+    drow = tuple(hostile_views.execute(dsql).fetchone())
+    assert srow == drow, (
+        f"hostile select {table} seed={seed}: {srow} != {drow}\n"
+        f"  spark: {ssql[:500]}\n  duck:  {dsql[:500]}"
+    )

@@ -762,15 +762,27 @@ def staged_lpa(sf_dir: str, work: str):
         f"SELECT DISTINCT src AS id, src AS label FROM ({_EDGES_OVER_CS})",
     )
     for i in range(1, 4):
+        # two plain aggregates instead of an argmax struct-MIN: DuckDB's
+        # struct aggregate blows past memory_limit at >1M groups (measured
+        # r10, see staged_mode). max count per id, then min label at that
+        # count — identical to ROW_NUMBER(c DESC, label ASC) rn=1.
+        _stage(
+            sf_dir,
+            work,
+            f"lpa_cnt{i}",
+            f"""SELECT e.src AS id, l.label AS label, COUNT(*) AS c
+FROM ({_EDGES_OVER_CS}) e JOIN lpa_l{i - 1} l ON l.id = e.dst
+GROUP BY 1, 2""",
+        )
         _stage(
             sf_dir,
             work,
             f"lpa_l{i}",
-            f"""SELECT id, (MIN({{'c': -c, 'l': label}})).l AS label FROM (
-  SELECT e.src AS id, l.label AS label, COUNT(*) AS c
-  FROM ({_EDGES_OVER_CS}) e JOIN lpa_l{i - 1} l ON l.id = e.dst
-  GROUP BY 1, 2
-) GROUP BY id""",
+            f"""SELECT t.id, MIN(t.label) AS label
+FROM lpa_cnt{i} t
+JOIN (SELECT id, MAX(c) AS mc FROM lpa_cnt{i} GROUP BY id) m
+  ON m.id = t.id AND t.c = m.mc
+GROUP BY t.id""",
         )
     return _fetch(
         sf_dir,
@@ -980,11 +992,18 @@ def staged_mode(sf_dir: str, work: str):
         "SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt "
         "FROM orders GROUP BY o_custkey, o_orderpriority",
     )
+    # MEASURED (r10): DuckDB's MAX over a STRUCT blows past its own
+    # memory_limit at 1.5M groups (>128 GB RSS — this is what OOM-killed
+    # the r9 sweep twice); the varchar-encoded argmax computes the SAME
+    # (cnt, priority) lexicographic max in 1.4 GB. cnt zero-padded to 10
+    # digits makes string order == numeric order; '|' then priority makes
+    # the tiebreak identical to the struct comparison (ASCII data).
     return _fetch(
         sf_dir,
         work,
         """SELECT o_custkey,
-       (MAX({'c': cnt, 'p': o_orderpriority})).p AS mode_priority,
+       substring(MAX(printf('%010d|%s', cnt, o_orderpriority)), 12)
+         AS mode_priority,
        CAST(MAX(cnt) AS BIGINT) AS mode_count
 FROM mode_c GROUP BY o_custkey""",
     )
@@ -1104,9 +1123,18 @@ cand AS (
   FROM rec r JOIN names n ON n.p_name = r.p_name AND n.c >= 2
 ),
 best AS (
-  SELECT k1, name1, MIN((dist, k2, name2)) AS m FROM cand GROUP BY 1, 2
+  -- varchar-encoded argmin (struct/row MIN over 2M groups blows DuckDB's
+  -- memory_limit — measured r10, see staged_mode): dist is 1 digit
+  -- (<= 2), k2 zero-padded 12 digits, then the name; string order ==
+  -- (dist, k2, name2) order on this ASCII data
+  SELECT k1, name1,
+         MIN(printf('%01d|%012d|%s', dist, k2, name2)) AS m
+  FROM cand GROUP BY 1, 2
 )
-SELECT k1, name1, m[2] AS nearest_key, m[3] AS nearest_name, m[1] AS dist
+SELECT k1, name1,
+       CAST(split_part(m, '|', 2) AS BIGINT) AS nearest_key,
+       split_part(m, '|', 3) AS nearest_name,
+       CAST(split_part(m, '|', 1) AS INTEGER) AS dist
 FROM best""",
     )
 
@@ -1141,20 +1169,32 @@ def staged_pq_adc(sf_dir: str, work: str):
     _stage(
         sf_dir,
         work,
-        "pq_codes",
-        f"""SELECT vec_id, m, (MIN((d2, c_id)))[2] AS code
+        "pq_dist",
+        f"""SELECT d.vec_id, d.c_id, u.m,
+       CASE u.m WHEN 0 THEN d.dd0 WHEN 1 THEN d.dd1
+                WHEN 2 THEN d.dd2 ELSE d.dd3 END AS d2
 FROM (
-  SELECT d.vec_id, d.c_id, u.m,
-         CASE u.m WHEN 0 THEN d.dd0 WHEN 1 THEN d.dd1
-                  WHEN 2 THEN d.dd2 ELSE d.dd3 END AS d2
-  FROM (
-    SELECT e.vec_id, c.vec_id AS c_id,
-           {dd[0]} AS dd0, {dd[1]} AS dd1, {dd[2]} AS dd2, {dd[3]} AS dd3
-    FROM embeddings e
-    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c
-  ) d
-  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) u
-) GROUP BY 1, 2""",
+  SELECT e.vec_id, c.vec_id AS c_id,
+         {dd[0]} AS dd0, {dd[1]} AS dd1, {dd[2]} AS dd2, {dd[3]} AS dd3
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c
+) d
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) u""",
+    )
+    # two plain aggregates instead of a row-MIN argmax (struct/row
+    # aggregates blow DuckDB's memory_limit past ~1M groups — measured
+    # r10, see staged_mode): min distance per (vec, m), then min centroid
+    # id at that distance (doubles round-trip parquet bit-exactly, so the
+    # d2 = md equijoin is exact)
+    _stage(
+        sf_dir,
+        work,
+        "pq_codes",
+        """SELECT s.vec_id, s.m, MIN(s.c_id) AS code
+FROM pq_dist s
+JOIN (SELECT vec_id, m, MIN(d2) AS md FROM pq_dist GROUP BY 1, 2) t
+  ON t.vec_id = s.vec_id AND t.m = s.m AND s.d2 = t.md
+GROUP BY 1, 2""",
     )
     lut = [
         _pq_fold(16 * m + 1, 16 * m + 16, "q.embedding", "c.embedding")
