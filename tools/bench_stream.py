@@ -178,10 +178,13 @@ def run_pass(spark, keys, qs, sf_dir: str, coll: _Collector) -> dict:
 
 def main() -> None:
     if len(sys.argv) < 2:
-        sys.exit("usage: bench_stream.py OUT.json [sf_small] [sf_big]")
+        sys.exit("usage: bench_stream.py OUT.json [sf_small] [sf_big] [sf_xl]")
     target = sys.argv[1]
     sf_small = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     sf_big = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale/sf1"
+    # round-10 (verdict r9 ask #5): the state-bound claims measured where
+    # they matter — the 100x replica; empty string skips the pass
+    sf_xl = sys.argv[4] if len(sys.argv) > 4 else "/tmp/scale/sf10"
 
     from c2_duckdb_runner_spark import session as session_mod
     import __spark_entry__ as e
@@ -198,6 +201,7 @@ def main() -> None:
 
     small = run_pass(spark, keys, qs, sf_small, coll)
     big = run_pass(spark, keys, qs, sf_big, coll)
+    xl = run_pass(spark, keys, qs, sf_xl, coll) if sf_xl else {}
 
     # provider comparison (verdict r8 ask #4): the keyed-state keys re-run
     # under the RocksDB provider — the backend that keeps state off-heap at
@@ -216,6 +220,7 @@ def main() -> None:
     try:
         rocks_small = run_pass(spark, keyed, qs, sf_small, coll)
         rocks_big = run_pass(spark, keyed, qs, sf_big, coll)
+        rocks_xl = run_pass(spark, keyed, qs, sf_xl, coll) if sf_xl else {}
     finally:
         if prev is None:
             spark.conf.unset(prov_key)
@@ -224,8 +229,10 @@ def main() -> None:
 
     queries = {}
     for k in keys:
-        s, b = small.get(k, {}), big.get(k, {})
+        s, b, x = small.get(k, {}), big.get(k, {}), xl.get(k, {})
         ent = {"sf01": s, "sf1": b}
+        if x:
+            ent["sf10"] = x
         if "error" not in s and "error" not in b:
             for f in ("input_rows", "wall_sec", "state_rows_max"):
                 a, bb = s.get(f) or 0, b.get(f) or 0
@@ -238,12 +245,24 @@ def main() -> None:
                 > 2 * (ent.get("input_rows_x10") or 1)
             ):
                 ent["note"] = "state grows super-linearly vs input"
+        if x and "error" not in x and "error" not in b:
+            # the sf1 -> sf10 step: the 100x state-bound measurement
+            for f in ("input_rows", "wall_sec", "state_rows_max"):
+                a, xx = b.get(f) or 0, x.get(f) or 0
+                ent[f"{f}_x10_sf10"] = round(xx / a, 2) if a else None
+            if (
+                b.get("state_rows_max")
+                and (ent.get("state_rows_max_x10_sf10") or 0)
+                > 2 * (ent.get("input_rows_x10_sf10") or 1)
+            ):
+                ent["note_sf10"] = "state grows super-linearly vs input"
         if k in STATE_BOUNDS:
             ent.update(STATE_BOUNDS[k])
             rs, rb = rocks_small.get(k, {}), rocks_big.get(k, {})
+            rx = rocks_xl.get(k, {})
             ent["provider_comparison"] = {
-                "hdfs_backed": {"sf01": s, "sf1": b},
-                "rocksdb": {"sf01": rs, "sf1": rb},
+                "hdfs_backed": {"sf01": s, "sf1": b, "sf10": x},
+                "rocksdb": {"sf01": rs, "sf1": rb, "sf10": rx},
             }
             # guard on rb (the sf1 RocksDB pass — the numerator), not rs:
             # an errored sf1 run must not record a misleading 0.0 ratio
@@ -256,13 +275,23 @@ def main() -> None:
                 ent["provider_comparison"]["rocksdb_vs_hdfs_wall_x_sf1"] = (
                     round(rb["wall_sec"] / b["wall_sec"], 2)
                 )
+            if (
+                "error" not in rx
+                and "error" not in x
+                and x.get("wall_sec")
+                and rx.get("wall_sec")
+            ):
+                ent["provider_comparison"]["rocksdb_vs_hdfs_wall_x_sf10"] = (
+                    round(rx["wall_sec"] / x["wall_sec"], 2)
+                )
         queries[k] = ent
 
     out = {
         "what": (
             "Streaming family throughput/latency/state artifact (verdict "
-            "r06 item 5): every stream_* key driven availableNow at sf0.1 "
-            "and the 10x replica with a StreamingQueryListener; per-key "
+            "r06 item 5; r9 ask #5 extends it to the 100x replica): every "
+            "stream_* key driven availableNow at sf0.1, 10x, and 100x "
+            "with a StreamingQueryListener; per-key "
             "rows/s, worst micro-batch ms, and max state-store footprint, "
             "with x10 ratios. State bounded by window/key cardinality "
             "should grow ~1x; input-proportional state is flagged. Keyed-"
