@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Exploratory fuzz run: many seeds, report every Spark-vs-DuckDB divergence.
 
-Usage: python tools/fuzz_explore.py [N_PER_TABLE] [SF_DIR]
+Usage: python tools/fuzz_explore.py [N_PER_TABLE] [SF_DIR] [SLOT] [PROFILE]
+
+SLOT: where (default) | select | group | order — the round-10 widened
+slots reuse this loop: each non-where case is one dual-rendered query
+per seed, compared on its one-row BIGINT fingerprint. PROFILE: default |
+hostile (hostile drops X5 case mapping from the grammar; pair it with a
+hostile fixture dir built by c2_duckdb_runner_spark.hostile).
 
 This is the discovery loop behind tests/test_fuzz_differential.py: run it
 wide (e.g. 2000 seeds/table), shrink anything that diverges, pin the class
@@ -26,9 +32,44 @@ from c2_duckdb_runner_spark.tables import load  # noqa: E402
 BATCH = 40
 
 
+def run_slot_pass(spark, con, tables, n, slot, profile):
+    """Widened slots: one query pair per seed, one-row fingerprints."""
+    gen = {
+        "select": fuzzing.gen_select_batch,
+        "group": fuzzing.gen_groupagg,
+        "order": fuzzing.gen_orderlimit,
+    }[slot]
+    n_div = n_err = 0
+    t0 = time.time()
+    for table in tables:
+        for s in range(n):
+            q = gen(table, s, profile=profile) if slot != "select" else gen(
+                table, s, profile=profile
+            )
+            try:
+                a = tuple(spark.sql(q.spark).collect()[0])
+                b = tuple(con.execute(q.duck).fetchone())
+                if a != b:
+                    n_div += 1
+                    print(f"DIVERGE {slot} {table} seed={s}: {a} vs {b}"
+                          f"\n  spark: {q.spark[:400]}"
+                          f"\n  duck:  {q.duck[:400]}")
+            except Exception as ex:  # noqa: BLE001
+                n_err += 1
+                print(f"ERROR {slot} {table} seed={s}: {str(ex)[:200]}"
+                      f"\n  spark: {q.spark[:400]}\n  duck:  {q.duck[:400]}")
+        print(f"{slot} {table}: {n} seeds done ({time.time()-t0:.0f}s)",
+              flush=True)
+    print(f"\ntotal: {n*len(tables)} {slot} queries, {n_div} divergences, "
+          f"{n_err} errors in {time.time()-t0:.0f}s")
+    sys.exit(1 if (n_div or n_err) else 0)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    slot = sys.argv[3] if len(sys.argv) > 3 else "where"
+    profile = sys.argv[4] if len(sys.argv) > 4 else "default"
 
     spark = get_spark("fuzz-explore")
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,12 +81,19 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    if slot != "where":
+        run_slot_pass(spark, con, tables, n, slot, profile)
+        return
+
     n_div = n_err = 0
     t0 = time.time()
     for table in tables:
         for lo in range(0, n, BATCH):
             seeds = list(range(lo, min(lo + BATCH, n)))
-            preds = [fuzzing.gen_predicate(table, s) for s in seeds]
+            preds = [
+                fuzzing.gen_predicate(table, s, profile=profile)
+                for s in seeds
+            ]
             try:
                 srow = spark.sql(
                     fuzzing.fingerprint_sql(table, preds, "spark")
