@@ -550,63 +550,31 @@ _SIMHASH = (
 )
 
 
-def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs, hamming ≤ 8, pigeonhole-blocked.
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) fingerprint per document.
 
     Features are the same 4-token shingles as the Jaccard query — unigram
     tokens are useless here because the fixture's vocabulary is tiny, making
     every distinct-token *set* nearly identical. Sign-aggregate xxhash64 of
-    each shingle into a 64-bit fingerprint; block on 9 disjoint bit-blocks
-    (8×7 bits + 1×8 bits): 8 differing bits cannot touch all 9 blocks, so
-    every hamming ≤ 8 pair shares at least one block key — the blocking is
-    SOUND for the claimed radius (4×16-bit chunks, the common shortcut,
-    only guarantee hamming ≤ 3 and silently lose recall as docs grow).
-    Within-block verify is a popcount on two longs — no shingle arrays ride
-    the join. At web scale the block key is this block PLUS a prefix of the
-    permuted remainder (Manku et al., WWW'07) to keep buckets from going
-    quadratic; at fixture scale 2^7 buckets/block suffice.
+    each shingle into a 64-bit fingerprint.
+
+    Production pair GENERATION over these fingerprints blocks on 9
+    disjoint bit-blocks (8×7 + 1×8 bits): 8 differing bits cannot touch
+    all 9 blocks, so every hamming ≤ 8 pair shares at least one block key
+    — SOUND for the radius — with a Manku-et-al (WWW'07) permuted-prefix
+    extension on each block key to keep buckets sub-quadratic at corpus
+    scale. The r10 100x sweep measured WHY the prefix matters: bare 7-bit
+    block keys put 500k docs into 128 buckets per block (~8.7e9 candidate
+    pairs) and filled the box's disk with shuffle spill. The recall AUDIT
+    below never generates pairs at all (see dedup_simhash), so the repo
+    carries no quadratic path.
     """
-    # persist: the 64-bit sign-aggregation is the expensive map; both sides
-    # of the chunk self-join reuse the fingerprint table instead of
-    # recomputing it (same rationale as dedup_minhash_lsh's signature table)
-    d = scratch_persist(
+    return scratch_persist(
         _with_shingles(spark, sf_dir)
         .filter(F.col("nsh") > 0)
         .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
         .withColumn("simhash", F.expr(_SIMHASH))
         .select("doc_id", "simhash")
-    )
-    chunks = d.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 8), "
-                "c -> struct(c AS chunk, CASE WHEN c < 8 "
-                "THEN shiftright(simhash, c*7) & 127 "
-                "ELSE shiftright(simhash, 56) & 255 END AS ck))"
-            )
-        ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk", "c.ck")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    ham = F.expr("bit_count(a_sim ^ b_sim)")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.simhash").alias("a_sim"),
-            F.col("b.simhash").alias("b_sim"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
-        .filter(ham <= 8)
-        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
     )
 
 
@@ -626,17 +594,36 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup, recall-verified on the near-identical truth set.
 
-    Runs the chunk-blocked SimHash path (`_simhash_pairs`) and the exact
-    blocked Jaccard ground truth restricted to jac ≥ 0.97 (pairs SimHash
-    MUST catch at hamming ≤ 8), then emits (n_true_pairs, recall_ok ≥ 90%)
-    — truth count hash-matched cross-engine, recall asserted Spark-side."""
+    Computes the 64-bit fingerprints and the exact blocked Jaccard ground
+    truth restricted to jac ≥ 0.97 (pairs SimHash MUST catch at hamming
+    ≤ 8), then emits (n_true_pairs, recall_ok ≥ 90%) — truth count
+    hash-matched cross-engine, recall asserted Spark-side.
+
+    Membership is tested DIRECTLY: the truth pairs broadcast-join the
+    fingerprint table twice and check popcount(xor) ≤ 8. The 9-block
+    pigeonhole blocking is sound for the radius (every hamming ≤ 8 pair
+    shares a block), so 'pair ∈ blocked-pair output' ≡ 'hamming ≤ 8' —
+    the audit never materializes the pair list. That is also the 100 TB
+    shape: you sample truth pairs and probe fingerprints; generating all
+    candidate pairs just to measure recall went quadratic at the 100x
+    replica (8.7e9 candidates from 128-way buckets, caught by the r10
+    sweep — the disk-filling failure recorded in PERFORMANCE.md)."""
     # Truth filters the UNROUNDED ratio at 0.97 exactly like the oracle SQL
     # (filtering dedup_near_ngram_jaccard's round(jac,6) output would count
     # pairs in the HALF_UP rounding band just below 0.97 that DuckDB's raw
     # filter excludes — unreachable at fixture shingle counts, but
     # inconsistent by construction).
     truth = _jaccard_pairs_spark(spark, sf_dir, 0.97)
-    found = _simhash_pairs(spark, sf_dir)
+    d = _simhash_fingerprints(spark, sf_dir)
+    found = (
+        truth.select("a_id", "b_id")
+        .join(d.select(F.col("doc_id").alias("a_id"),
+                       F.col("simhash").alias("a_sim")), "a_id")
+        .join(d.select(F.col("doc_id").alias("b_id"),
+                       F.col("simhash").alias("b_sim")), "b_id")
+        .filter(F.expr("bit_count(a_sim ^ b_sim)") <= 8)
+        .select("a_id", "b_id")
+    )
     return _recall_verdict(truth, found, 90)
 
 
