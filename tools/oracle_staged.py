@@ -797,6 +797,9 @@ GROUP BY t.id""",
 # ---------------------------------------------------------------------------
 
 
+_WL_SLICES = 8
+
+
 def staged_wl(sf_dir: str, work: str):
     _stage_cs(sf_dir, work)
     _stage(
@@ -807,17 +810,33 @@ def staged_wl(sf_dir: str, work: str):
         f"FROM ({_EDGES_OVER_CS}) GROUP BY 1",
     )
     for i in (1, 2):
-        _stage(
-            sf_dir,
-            work,
-            f"wl_c{i}",
-            f"""SELECT e.src AS v,
+        # the ordered string_agg holds every group's sorted neighbor-color
+        # list in memory and CANNOT spill — at 100x (120M edge rows, 1.6M
+        # groups) it exhausts any per-process budget (measured: bad_alloc
+        # at 40GB). src % K partitions the GROUPS exactly, so per-slice
+        # aggregation is the same algebra at 1/K the state.
+        for j in range(_WL_SLICES):
+            _stage(
+                sf_dir,
+                work,
+                f"wl_c{i}s{j}",
+                f"""SELECT e.src AS v,
        substring(md5(cv.col || '|' ||
                      string_agg(cn.col, ',' ORDER BY cn.col)), 1, 8) AS col
 FROM ({_EDGES_OVER_CS}) e
 JOIN wl_c{i - 1} cv ON cv.v = e.src
 JOIN wl_c{i - 1} cn ON cn.v = e.dst
+WHERE e.src % {_WL_SLICES} = {j}
 GROUP BY e.src, cv.col""",
+            )
+        _stage(
+            sf_dir,
+            work,
+            f"wl_c{i}",
+            " UNION ALL ".join(
+                f"SELECT v, col FROM wl_c{i}s{j}"
+                for j in range(_WL_SLICES)
+            ),
         )
     return _fetch(
         sf_dir,
