@@ -38,6 +38,13 @@ pyspark 4.1.2 [ANSI on, UTC session] vs DuckDB; see PERFORMANCE.md
                        propagates NULL — Duck side rendered with a CASE
                        NULL-guard. FOUND BY THE FUZZER (lineitem seed 2140
                        of the 18k widening run), not by the probe ledger.
+  D9  double literal -> Spark parses a bare decimal literal (903.05) as
+                       DECIMAL, Duck as DOUBLE; INT / 903.05 is DECIMAL
+                       division in Spark (rounded to scale 6). Spark side
+                       rendered with the 'D' double suffix. FOUND BY THE
+                       r10 SELECT-SLOT FUZZ (part seed 0): WHERE-slot
+                       comparisons masked it because the decimal
+                       intermediate only flips rows in the rounding band.
 
   excluded from the grammar (divergence has NO faithful dual rendering;
   each exclusion is itself pinned by tests/test_fuzz_differential.py):
@@ -208,10 +215,18 @@ _SAFE_REGEX = [
 ]
 
 
-def _fmt_double(v: float) -> str:
-    # one literal formatter for both dialects: repr() round-trips exactly
-    # and both engines parse the same decimal text to the same double
-    return repr(float(v))
+def _fmt_double(v: float) -> Sql:
+    """Dual-rendered double literal. FOUND BY THE r10 SELECT-SLOT FUZZ
+    (part seed 0): Spark parses a bare decimal literal as DECIMAL, so
+    INT / 903.05 runs DECIMAL division (result rounded to scale 6) while
+    DuckDB's 903.05 is a DOUBLE — the Spark side needs the explicit 'D'
+    double suffix. repr() round-trips the value exactly in both.
+    The WHERE-slot fuzz never tripped this (D9 in the ledger): a decimal
+    intermediate inside a comparison only flips rows in the rounding
+    band, and every admitted WHERE shape also mixes a double column into
+    the expression, which forces double coercion upstream."""
+    r = repr(float(v))
+    return Sql(r, r + "D")
 
 
 def _fmt_str(s: str) -> str:
@@ -332,7 +347,7 @@ class PredicateGen:
     def gen_num(self, depth: int) -> Sql:
         cols = self.t["double"]
         leafs = [
-            (2.0, lambda: same(_fmt_double(self._num_literal()))),
+            (2.0, lambda: _fmt_double(self._num_literal())),
             (1.5, lambda: self.gen_int(0)),
         ]
         if cols:
@@ -348,16 +363,16 @@ class PredicateGen:
             (0.8, lambda: Sql(*(f"ABS({s})" for s in self.gen_num(depth - 1)))),
             (0.6, lambda: Sql(*(f"ROUND({s})" for s in self.gen_num(depth - 1)))),
             (0.6, lambda: self._round_n(depth)),
-            (0.5, lambda: Sql(*(f"FLOOR({s})" for s in self.gen_num(depth - 1)))),
-            (0.5, lambda: Sql(*(f"CEIL({s})" for s in self.gen_num(depth - 1)))),
+            (0.5, lambda: self._ceilfloor("FLOOR", depth)),
+            (0.5, lambda: self._ceilfloor("CEIL", depth)),
             # X3: transcendental args guarded non-negative / positive
             (0.5, lambda: Sql(*(f"SQRT(ABS({s}))" for s in self.gen_num(depth - 1)))),
             (0.5, lambda: Sql(
                 *(f"LN(ABS({s}) + 1.0)" for s in self.gen_num(depth - 1)))),
             (0.4, lambda: Sql(
                 *(f"LOG10(ABS({s}) + 1.0)" for s in self.gen_num(depth - 1)))),
-            (0.4, lambda: Sql(*(f"SIN({s})" for s in self.gen_num(depth - 1)))),
-            (0.4, lambda: Sql(*(f"COS({s})" for s in self.gen_num(depth - 1)))),
+            (0.4, lambda: self._trig("SIN", depth)),
+            (0.4, lambda: self._trig("COS", depth)),
             (0.3, lambda: Sql(*(f"ATAN({s})" for s in self.gen_num(depth - 1)))),
             (0.4, lambda: self._power(depth)),
             (0.5, lambda: Sql(*(f"(- {s})" for s in self.gen_num(depth - 1)))),
@@ -394,6 +409,44 @@ class PredicateGen:
         return Sql(
             f"({a.duck} / {b.duck})", f"TRY_DIVIDE({a.spark}, {b.spark})"
         )
+
+    def _ceilfloor(self, fn: str, depth: int) -> Sql:
+        """CEIL/FLOOR. H2 (hostile-fixture fuzz, r10): Spark's
+        CEIL/FLOOR(double) returns BIGINT — NaN maps to 0, ±inf and
+        |x| >= 2^63 saturate at the int64 bounds — while DuckDB keeps
+        DOUBLE. Exact dual rendering: any double with |x| >= 2^53 is
+        already integral, so the Spark side passes NaN/±inf/big values
+        through unchanged and casts the BIGINT result back to DOUBLE
+        only in the always-exact |x| < 2^53 range."""
+        a = self.gen_num(depth - 1)
+        spark_r = (
+            f"CASE WHEN isnan({a.spark}) OR "
+            f"abs({a.spark}) >= 9.007199254740992E15D THEN ({a.spark}) "
+            f"ELSE CAST({fn}({a.spark}) AS DOUBLE) END"
+        )
+        return Sql(f"{fn}({a.duck})", spark_r)
+
+    def _trig(self, fn: str, depth: int) -> Sql:
+        """SIN/COS. H1 (hostile-fixture fuzz, r10): DuckDB raises Out of
+        Range on ±inf trig arguments where Spark returns NaN — no faithful
+        dual rendering of the raw call exists on non-finite data, so the
+        hostile profile pins ONE semantics by guarding the argument to 0.0
+        when non-finite (rendered on BOTH sides; NULL also maps to 0.0 on
+        both). The default fixture is all-finite, where the raw calls are
+        measured bit-equal (X7)."""
+        a = self.gen_num(depth - 1)
+        if self.profile != "hostile":
+            return Sql(f"{fn}({a.duck})", f"{fn}({a.spark})")
+        duck_g = (
+            f"CASE WHEN isfinite({a.duck}) THEN {a.duck} "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        spark_g = (
+            f"CASE WHEN NOT isnan({a.spark}) AND "
+            f"abs({a.spark}) <> CAST('Infinity' AS DOUBLE) THEN {a.spark} "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        return Sql(f"{fn}({duck_g})", f"{fn}({spark_g})")
 
     def _power(self, depth: int) -> Sql:
         a = self.gen_num(depth - 1)
@@ -506,9 +559,14 @@ class PredicateGen:
     def _json(self, depth: int) -> Sql:
         col = self.rng.choice(list(self.t["json"]))
         path = self.rng.choice(self.t["json"][col] + ["$.missing"])
-        # D6: function names differ; semantics measured identical
+        # D6: function names differ; semantics measured identical on valid
+        # JSON. H3 (hostile-fixture fuzz, r10): on MALFORMED input DuckDB's
+        # json_extract_string raises Invalid Input where Spark's
+        # GET_JSON_OBJECT returns NULL — the Duck side carries a
+        # json_valid guard (a no-op on well-formed data).
         return Sql(
-            f"json_extract_string({col}, '{path}')",
+            f"CASE WHEN json_valid({col}) "
+            f"THEN json_extract_string({col}, '{path}') END",
             f"GET_JSON_OBJECT({col}, '{path}')",
         )
 
@@ -630,7 +688,11 @@ class PredicateGen:
             a = self.rng.uniform(lo0, hi0)
             b = self.rng.uniform(lo0, hi0)
             lo, hi = sorted([round(a, 2), round(b, 2)])
-            return same(f"({col} BETWEEN {_fmt_double(lo)} AND {_fmt_double(hi)})")
+            lo_l, hi_l = _fmt_double(lo), _fmt_double(hi)
+            return Sql(
+                f"({col} BETWEEN {lo_l.duck} AND {hi_l.duck})",
+                f"({col} BETWEEN {lo_l.spark} AND {hi_l.spark})",
+            )
 
         def in_list():
             if self.t["str"] and r.random() < 0.6:

@@ -261,3 +261,15 @@ def test_fuzz_group_agg(spark, views, table, seed):
 def test_fuzz_order_limit(spark, views, table, seed):
     q = fuzzing.gen_orderlimit(table, seed)
     _run_pair(spark, views, table, q, f"order {table} seed={seed}")
+
+
+def test_trap_d9_bare_decimal_literal(spark):
+    """Found by the r10 select-slot fuzz (part seed 0): Spark parses a bare
+    decimal literal as DECIMAL — INT / 903.05 is decimal division rounded
+    to scale 6 — while DuckDB parses it as DOUBLE. The grammar renders
+    Spark-side double literals with the 'D' suffix."""
+    import decimal
+
+    assert _spark1(spark, "22 / 903.05") == decimal.Decimal("0.024362")
+    assert _duck1("22 / 903.05") == 22 / 903.05
+    assert _spark1(spark, "22 / 903.05D") == 22 / 903.05  # the rendering

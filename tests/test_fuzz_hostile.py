@@ -85,3 +85,55 @@ def test_hostile_fuzz_select_exprs(spark, hostile_views, table, seed):
         f"hostile select {table} seed={seed}: {srow} != {drow}\n"
         f"  spark: {ssql[:500]}\n  duck:  {dsql[:500]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinned hostile-divergence traps (H1-H3): each asserts the raw divergence
+# is REAL on this container, so an engine upgrade that closes it surfaces
+# as a failure here and the guard rendering can be retired.
+# ---------------------------------------------------------------------------
+
+
+def _duck1(expr):
+    con = duckdb.connect()
+    try:
+        return con.execute(f"SELECT {expr}").fetchone()[0]
+    finally:
+        con.close()
+
+
+def _spark1(spark, expr):
+    return spark.sql(f"SELECT {expr}").collect()[0][0]
+
+
+def test_trap_h1_trig_on_infinity(spark):
+    import math
+
+    with pytest.raises(Exception, match="(?i)out of range"):
+        _duck1("SIN('inf'::DOUBLE)")
+    assert math.isnan(_spark1(spark, "SIN(CAST('Infinity' AS DOUBLE))"))
+
+
+def test_trap_h2_ceil_floor_bigint(spark):
+    import math
+
+    assert math.isnan(_duck1("CEIL('nan'::DOUBLE)"))
+    assert _spark1(spark, "CEIL(CAST('NaN' AS DOUBLE))") == 0
+    assert _duck1("CEIL(1e300)") == 1e300
+    assert _spark1(spark, "CEIL(1e300)") == 9223372036854775807
+    # the grammar's rendering: identity for |x| >= 2^53 (already integral)
+    assert _spark1(
+        spark,
+        "CASE WHEN isnan(1e300) OR abs(1e300) >= 9.007199254740992E15D "
+        "THEN 1e300 ELSE CAST(CEIL(1e300) AS DOUBLE) END",
+    ) == 1e300
+
+
+def test_trap_h3_json_malformed(spark):
+    with pytest.raises(Exception, match="(?i)malformed json"):
+        _duck1("json_extract_string('not json', '$.k')")
+    assert _spark1(spark, "GET_JSON_OBJECT('not json', '$.k')") is None
+    assert _duck1(
+        "CASE WHEN json_valid('not json') "
+        "THEN json_extract_string('not json', '$.k') END"
+    ) is None
