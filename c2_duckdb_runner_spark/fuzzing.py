@@ -38,13 +38,16 @@ pyspark 4.1.2 [ANSI on, UTC session] vs DuckDB; see PERFORMANCE.md
                        propagates NULL — Duck side rendered with a CASE
                        NULL-guard. FOUND BY THE FUZZER (lineitem seed 2140
                        of the 18k widening run), not by the probe ledger.
-  D9  double literal -> Spark parses a bare decimal literal (903.05) as
-                       DECIMAL, Duck as DOUBLE; INT / 903.05 is DECIMAL
-                       division in Spark (rounded to scale 6). Spark side
-                       rendered with the 'D' double suffix. FOUND BY THE
-                       r10 SELECT-SLOT FUZZ (part seed 0): WHERE-slot
-                       comparisons masked it because the decimal
-                       intermediate only flips rows in the rounding band.
+  D9  double literal -> BOTH engines parse a bare decimal literal
+                       (903.05) as DECIMAL, with per-engine decimal
+                       algebras that diverge from double differently
+                       (Spark: INT / 903.05 is DECIMAL division rounded
+                       to scale 6; Duck: exact decimal +/- but double
+                       division). Literals render as '903.05e0' — DOUBLE
+                       in both. FOUND BY THE r10 SELECT-SLOT FUZZ (part
+                       seed 0 and orders seed 3): WHERE-slot comparisons
+                       masked it because a double column in the
+                       expression forces double coercion upstream.
 
   excluded from the grammar (divergence has NO faithful dual rendering;
   each exclusion is itself pinned by tests/test_fuzz_differential.py):
@@ -66,7 +69,9 @@ pyspark 4.1.2 [ANSI on, UTC session] vs DuckDB; see PERFORMANCE.md
       wildcard patterns without escapes.
   X7  EXP / CBRT: last-ulp libm drift (EXP(1.0): ...4590450 vs ...4590455;
       CBRT(27.0): 3.0000000000000004 vs 3.0) — excluded; SIN/COS/TAN/
-      ATAN/ATAN2/ASIN/ACOS/LN/LOG10/LOG2/SQRT/POWER measured bit-equal.
+      ATAN/ATAN2/ASIN/ACOS/LN/LOG10/LOG2/SQRT measured bit-equal at
+      grammar magnitudes (POWER was too at the probe points, but X12
+      retired it — the drift is input-dependent).
   X8  HASH(x): engine-defined (different algorithms) — excluded.
   X9  Integer floor division: Duck ``//`` floors, Spark ``div`` truncates
       toward zero (differ on negatives) — excluded from the grammar; the
@@ -75,6 +80,21 @@ pyspark 4.1.2 [ANSI on, UTC session] vs DuckDB; see PERFORMANCE.md
       of Range) but an error kills a whole fingerprint batch — integer
       arithmetic is kept provably small (columns <= ~1e5, literals <= 100,
       multiplication only in the double domain).
+  X12 POWER: libm pow differs between the JVM and glibc by 1 ulp on some
+      inputs; at 1e12+ magnitudes that is a large ABSOLUTE difference
+      which survives the mod-2π trig reduction (witness: customer seed
+      103, SIN(POWER(c_custkey + c_acctbal, 3))). The grammar renders
+      small-integer powers as explicit multiplication chains (IEEE-exact
+      in both engines); free-form POWER is excluded.
+  X11 ROUND(x, n>0) on doubles: Spark HALF_UPs the SHORTEST-DECIMAL
+      representation of the double, DuckDB rounds the binary value —
+      witness ROUND(0.285e0, 2): Duck 0.28 (the double is just below
+      .285), Spark 0.29. Two-arg ROUND is excluded from the grammar;
+      single-arg ROUND is kept (measured parity, incl. boundary probes
+      122367.49999999999 / -2.5). The fingerprint uses FLOOR (bit-stable:
+      exact in IEEE for any double). Surfaced by the r10 select-slot
+      widening (documents seeds 63/104 — the root cause there was D9,
+      but the shrink exposed this adjacent 2-arg gap).
 
 Scale note: the fuzz executes at sf0.001 because it is a SEMANTICS gate,
 not a throughput gate — each batch compiles ~40 predicates into one
@@ -216,17 +236,20 @@ _SAFE_REGEX = [
 
 
 def _fmt_double(v: float) -> Sql:
-    """Dual-rendered double literal. FOUND BY THE r10 SELECT-SLOT FUZZ
-    (part seed 0): Spark parses a bare decimal literal as DECIMAL, so
-    INT / 903.05 runs DECIMAL division (result rounded to scale 6) while
-    DuckDB's 903.05 is a DOUBLE — the Spark side needs the explicit 'D'
-    double suffix. repr() round-trips the value exactly in both.
-    The WHERE-slot fuzz never tripped this (D9 in the ledger): a decimal
-    intermediate inside a comparison only flips rows in the rounding
-    band, and every admitted WHERE shape also mixes a double column into
-    the expression, which forces double coercion upstream."""
+    """Double literal, forced to DOUBLE type in BOTH dialects. FOUND BY
+    THE r10 SELECT-SLOT FUZZ (part seed 0, then orders seed 3): BOTH
+    engines parse a bare decimal literal as DECIMAL, and their decimal
+    algebras differ from double algebra differently per operator (Spark:
+    decimal division rounded to scale 6; DuckDB: exact decimal +/- but
+    double division) — so all-literal subtrees diverge unless the literal
+    is pinned to DOUBLE on both sides. Scientific notation ('253469.23e0')
+    parses as DOUBLE in both engines; repr() round-trips the value
+    exactly. The WHERE-slot fuzz never tripped this (D9 in the ledger):
+    every admitted WHERE shape mixes a double column in, which forces
+    double coercion upstream."""
     r = repr(float(v))
-    return Sql(r, r + "D")
+    t = r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+    return Sql(t, t)
 
 
 def _fmt_str(s: str) -> str:
@@ -361,8 +384,8 @@ class PredicateGen:
             # D1: division by (possibly zero) value -> NULL in both
             (1.0, lambda: self._div(depth)),
             (0.8, lambda: Sql(*(f"ABS({s})" for s in self.gen_num(depth - 1)))),
+            # X11: single-arg ROUND only (2-arg diverges cross-engine)
             (0.6, lambda: Sql(*(f"ROUND({s})" for s in self.gen_num(depth - 1)))),
-            (0.6, lambda: self._round_n(depth)),
             (0.5, lambda: self._ceilfloor("FLOOR", depth)),
             (0.5, lambda: self._ceilfloor("CEIL", depth)),
             # X3: transcendental args guarded non-negative / positive
@@ -401,6 +424,17 @@ class PredicateGen:
 
     def _binop_num(self, op: str, depth: int) -> Sql:
         a, b = self.gen_num(depth - 1), self.gen_num(depth - 1)
+        if op == "*":
+            # X10's 'multiplication only in the double domain', made
+            # structural: gen_num subtrees can be all-integer-typed, and
+            # int64 * int64 over the hostile fixture's ±1e15 values ANSI-
+            # overflows in Spark (found by the r10 hostile select leg).
+            # The cast is exact for |x| < 2^53 and forces double multiply
+            # in both engines.
+            return Sql(
+                f"(CAST({a.duck} AS DOUBLE) * {b.duck})",
+                f"(CAST({a.spark} AS DOUBLE) * {b.spark})",
+            )
         return Sql(f"({a.duck} {op} {b.duck})", f"({a.spark} {op} {b.spark})")
 
     def _div(self, depth: int) -> Sql:
@@ -427,38 +461,52 @@ class PredicateGen:
         return Sql(f"{fn}({a.duck})", spark_r)
 
     def _trig(self, fn: str, depth: int) -> Sql:
-        """SIN/COS. H1 (hostile-fixture fuzz, r10): DuckDB raises Out of
-        Range on ±inf trig arguments where Spark returns NaN — no faithful
-        dual rendering of the raw call exists on non-finite data, so the
-        hostile profile pins ONE semantics by guarding the argument to 0.0
-        when non-finite (rendered on BOTH sides; NULL also maps to 0.0 on
-        both). The default fixture is all-finite, where the raw calls are
-        measured bit-equal (X7)."""
+        """SIN/COS with the argument reduced mod 2π on BOTH sides.
+
+        Two measured reasons (r10):
+        - H1 (hostile leg): DuckDB raises Out of Range on ±inf trig
+          arguments where Spark returns NaN. fmod maps ±inf to NaN in
+          BOTH engines, and both agree SIN(NaN) = NaN — the reduction IS
+          the guard.
+        - X12 (select-slot widening, customer seed 103): sin/cos of HUGE
+          arguments (POWER chains reach 1e12) depend on the libm's
+          argument-reduction strategy — glibc (DuckDB) and the JVM
+          (Spark) disagree far beyond 1 ulp there. fmod is EXACT in IEEE
+          (same bits both sides), and over the reduced principal range
+          the implementations are measured bit-stable.
+        The declared semantics is therefore 'trig over the principal
+        range', pinned identically in both dialects."""
         a = self.gen_num(depth - 1)
-        if self.profile != "hostile":
-            return Sql(f"{fn}({a.duck})", f"{fn}({a.spark})")
-        duck_g = (
-            f"CASE WHEN isfinite({a.duck}) THEN {a.duck} "
-            f"ELSE CAST(0.0 AS DOUBLE) END"
+        two_pi = "6.283185307179586e0"
+        return Sql(
+            f"{fn}(({a.duck} % {two_pi}))",
+            f"{fn}(({a.spark} % {two_pi}))",
         )
-        spark_g = (
-            f"CASE WHEN NOT isnan({a.spark}) AND "
-            f"abs({a.spark}) <> CAST('Infinity' AS DOUBLE) THEN {a.spark} "
-            f"ELSE CAST(0.0 AS DOUBLE) END"
-        )
-        return Sql(f"{fn}({duck_g})", f"{fn}({spark_g})")
 
     def _power(self, depth: int) -> Sql:
+        """Small-integer power as an EXPLICIT multiplication chain.
+
+        X12 (r10 select-slot widening, customer seed 103 et al.): libm
+        pow differs between the JVM and glibc by 1 ulp on some inputs,
+        and at 1e12+ magnitudes that is a LARGE absolute difference —
+        which then survives the mod-2π trig reduction and flips
+        fingerprint grid cells. ((a)*(a))*(a) is plain IEEE multiply,
+        bit-identical across engines; POWER itself leaves the grammar."""
         a = self.gen_num(depth - 1)
         # draw the exponent ONCE — a draw inside the dual-render loop would
         # silently hand each dialect a different expression
         n = self.rng.randint(1, 3)
-        return Sql(f"POWER({a.duck}, {n})", f"POWER({a.spark}, {n})")
 
-    def _round_n(self, depth: int) -> Sql:
-        a = self.gen_num(depth - 1)
-        n = self.rng.randint(1, 3)
-        return Sql(f"ROUND({a.duck}, {n})", f"ROUND({a.spark}, {n})")
+        def chain(t: str) -> str:
+            # CAST the head to DOUBLE: gen_num subtrees can be all-int,
+            # and int64 chains overflow ANSI Spark on hostile ±1e15
+            # values (X10) — POWER's contract returns double anyway
+            e = f"(CAST({t} AS DOUBLE))"
+            for _ in range(n - 1):
+                e = f"({e} * ({t}))"
+            return e
+
+        return Sql(chain(a.duck), chain(a.spark))
 
     # -- string-valued expressions --------------------------------------------
     def gen_str(self, depth: int) -> Sql:
@@ -671,9 +719,13 @@ class PredicateGen:
             )
 
         def is_null():
-            gen = r.choice(
-                [self.gen_num, self.gen_str] + ([self.gen_ts] if self.t["ts"] else [])
-            )
+            # H4: no gen_ts here — DuckDB 1.0.0 mis-evaluates IS NULL over
+            # DATE_TRUNC chains in SEVERAL optimizer paths (WHERE pushdown,
+            # CASE folding, and common-subexpression-eliminated FILTER
+            # pairs — all pinned by tests/test_fuzz_hostile.py). The
+            # oracle engine is unsound for that shape, so it cannot be
+            # differentially tested on this DuckDB version.
+            gen = r.choice([self.gen_num, self.gen_str])
             e = gen(depth - 1)
             neg = " NOT" if r.random() < 0.5 else ""
             return Sql(f"({e.duck} IS{neg} NULL)", f"({e.spark} IS{neg} NULL)")
@@ -743,15 +795,34 @@ def fingerprint_sql(table: str, preds: list[Sql], dialect: str) -> str:
     (max key * rows ~ 1e10 at sf0.01) so BIGINT is exact in both engines;
     the DuckDB cast also pins SUM's HUGEINT result back to int64 so pandas
     doesn't degrade it to float64.
+
+    H4 (hostile-fixture fuzz, r10 — an ORACLE-ENGINE bug, pinned by
+    tests/test_fuzz_hostile.py): DuckDB 1.0.0 mis-folds
+    ``SUM(CASE WHEN <pred containing DATE_TRUNC(col) IS NULL> THEN ...)``
+    to constant 0 (the equivalent FILTER form evaluates correctly, so two
+    equivalent queries disagree inside DuckDB itself). The Duck dialect
+    therefore renders the fingerprint through FILTER clauses.
     """
     key = FUZZ_TABLES[table]["key"]
     cols = []
     for i, p in enumerate(preds):
-        q = p.duck if dialect == "duck" else p.spark
-        cols.append(f"CAST(SUM(CASE WHEN ({q}) THEN 1 ELSE 0 END) AS BIGINT) AS c{i}")
-        cols.append(
-            f"CAST(SUM(CASE WHEN ({q}) THEN {key} ELSE 0 END) AS BIGINT) AS s{i}"
-        )
+        if dialect == "duck":
+            cols.append(
+                f"CAST(COUNT(*) FILTER (({p.duck})) AS BIGINT) AS c{i}"
+            )
+            cols.append(
+                f"CAST(COALESCE(SUM({key}) FILTER (({p.duck})), 0) "
+                f"AS BIGINT) AS s{i}"
+            )
+        else:
+            cols.append(
+                f"CAST(SUM(CASE WHEN ({p.spark}) THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS c{i}"
+            )
+            cols.append(
+                f"CAST(SUM(CASE WHEN ({p.spark}) THEN {key} ELSE 0 END) "
+                f"AS BIGINT) AS s{i}"
+            )
     return "SELECT " + ",\n       ".join(cols) + f"\nFROM {table}"
 
 
@@ -789,8 +860,7 @@ def _fp_terms(kind: str, e: Sql, i: int) -> list[tuple[str, str, str]]:
     (alias, duck_expr, spark_expr) one-row aggregates."""
     cols = [(
         f"c{i}",
-        f"CAST(SUM(CASE WHEN ({e.duck}) IS NOT NULL THEN 1 ELSE 0 END) "
-        f"AS BIGINT)",
+        f"CAST(COUNT(*) FILTER ((({e.duck}) IS NOT NULL)) AS BIGINT)",
         f"CAST(SUM(CASE WHEN ({e.spark}) IS NOT NULL THEN 1 ELSE 0 END) "
         f"AS BIGINT)",
     )]
@@ -801,14 +871,18 @@ def _fp_terms(kind: str, e: Sql, i: int) -> list[tuple[str, str, str]]:
             f"CAST(SUM(COALESCE({e.spark}, 0)) AS BIGINT)",
         ))
     elif kind == "double":
+        # FLOOR, not ROUND: X11 — ROUND on doubles is not cross-engine
+        # bit-stable; FLOOR is exact in IEEE for every double. Duck side
+        # renders through FILTER (H4: DuckDB mis-folds CASE over
+        # DATE_TRUNC-IS-NULL predicates).
         clamp_d = f"LEAST(GREATEST({e.duck}, -1e9), 1e9)"
         clamp_s = f"LEAST(GREATEST({e.spark}, -1e9), 1e9)"
         cols.append((
             f"s{i}",
-            f"CAST(SUM(CASE WHEN ({e.duck}) IS NOT NULL THEN "
-            f"CAST(ROUND({clamp_d} * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)",
+            f"CAST(COALESCE(SUM(CAST(FLOOR({clamp_d} * 1000) AS BIGINT)) "
+            f"FILTER ((({e.duck}) IS NOT NULL)), 0) AS BIGINT)",
             f"CAST(SUM(CASE WHEN ({e.spark}) IS NOT NULL THEN "
-            f"CAST(ROUND({clamp_s} * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)",
+            f"CAST(FLOOR({clamp_s} * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)",
         ))
     elif kind == "str":
         h = _md5_int(e)
@@ -907,8 +981,15 @@ def gen_orderlimit(table: str, seed: int, profile: str = "default") -> Sql:
     rule from the oracle-parity ledger."""
     g = PredicateGen(table, seed + 3_000_000, profile=profile)
     r = g.rng
-    kind = r.choice(["int", "double", "str", "ts"] if g.t["ts"]
-                    else ["int", "double", "str"])
+    # hostile profile: no ts ORDER keys — DuckDB 1.0.0's broken
+    # non-null inference for DATE_TRUNC (H4) also misplaces NULL rows
+    # under explicit NULLS FIRST/LAST when the sort key is a ts
+    # expression over a NULL-bearing column (measured: lineitem seeds
+    # 37/57/65 rank sums), so the oracle cannot order that shape
+    kinds = ["int", "double", "str"]
+    if g.t["ts"] and profile != "hostile":
+        kinds.append("ts")
+    kind = r.choice(kinds)
     e = {
         "int": g.gen_int,
         "double": g.gen_num,

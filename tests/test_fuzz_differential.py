@@ -264,12 +264,41 @@ def test_fuzz_order_limit(spark, views, table, seed):
 
 
 def test_trap_d9_bare_decimal_literal(spark):
-    """Found by the r10 select-slot fuzz (part seed 0): Spark parses a bare
-    decimal literal as DECIMAL — INT / 903.05 is decimal division rounded
-    to scale 6 — while DuckDB parses it as DOUBLE. The grammar renders
-    Spark-side double literals with the 'D' suffix."""
+    """Found by the r10 select-slot fuzz (part seed 0 + orders seed 3):
+    BOTH engines parse bare decimal literals as DECIMAL, with decimal
+    algebras that diverge from double differently — Spark rounds decimal
+    division to scale 6; DuckDB keeps +/- exact in decimal but routes
+    division through double. The grammar renders every double literal in
+    scientific notation ('e0'), which is DOUBLE in both engines."""
     import decimal
 
+    # Spark: decimal division, rounded
     assert _spark1(spark, "22 / 903.05") == decimal.Decimal("0.024362")
-    assert _duck1("22 / 903.05") == 22 / 903.05
-    assert _spark1(spark, "22 / 903.05D") == 22 / 903.05  # the rendering
+    # Duck: decimal subtraction, exact (differs from double subtraction)
+    assert _duck1("(- 253469.23) - 243847.95") == decimal.Decimal(
+        "-497317.18"
+    )
+    assert (-253469.23) - 243847.95 == -497317.18000000005
+    # the rendering: 'e0' literals are DOUBLE in both
+    assert _spark1(spark, "22 / 903.05e0") == 22 / 903.05
+    assert _duck1("22 / 903.05e0") == 22 / 903.05
+    assert _duck1("(- 253469.23e0) - 243847.95e0") == -497317.18000000005
+    assert _spark1(
+        spark, "(- 253469.23e0) - 243847.95e0"
+    ) == -497317.18000000005
+
+
+def test_trap_x11_round2_shortest_repr(spark):
+    """Surfaced by the r10 select-slot widening shrink: two-arg ROUND on
+    doubles diverges — Spark HALF_UPs the SHORTEST-DECIMAL repr of the
+    double, DuckDB rounds the binary value. 0.285's nearest double is
+    just below .285, so the engines disagree. Single-arg ROUND and FLOOR
+    are measured bit-stable (boundary probes included)."""
+    assert _duck1("ROUND(0.285e0, 2)") == 0.28
+    assert _spark1(spark, "ROUND(0.285e0, 2)") == 0.29
+    # the kept primitives agree on the same boundary shapes
+    x = "122367.49999999999"
+    assert _duck1(f"ROUND({x}e0)") == _spark1(spark, f"ROUND({x}e0)")
+    assert _duck1("ROUND(-2.5e0)") == _spark1(spark, "ROUND(-2.5e0)")
+    assert _duck1(f"FLOOR({x}e0)") == 122367.0
+    assert _spark1(spark, f"FLOOR({x}e0)") == 122367

@@ -137,3 +137,45 @@ def test_trap_h3_json_malformed(spark):
         "CASE WHEN json_valid('not json') "
         "THEN json_extract_string('not json', '$.k') END"
     ) is None
+
+
+def test_trap_h4_duckdb_case_datetrunc_isnull_misfold(tmp_path):
+    """ORACLE-ENGINE bug found by the hostile leg (lineitem seed 369):
+    DuckDB 1.0.0 folds SUM(CASE WHEN DATE_TRUNC(col) IS NULL ...) to 0
+    even when the column has NULLs — the equivalent FILTER form counts
+    correctly, i.e. DuckDB disagrees with itself. The fingerprint
+    compiler renders the Duck side through FILTER because of this."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([None, 1_000_000_000], pa.timestamp("us"))}),
+        p,
+    )
+    con = duckdb.connect()
+    case_form = con.execute(
+        f"SELECT SUM(CASE WHEN DATE_TRUNC('day', ts) IS NULL THEN 1 "
+        f"ELSE 0 END) FROM '{p}'"
+    ).fetchone()[0]
+    filter_form = con.execute(
+        f"SELECT COUNT(*) FILTER (DATE_TRUNC('day', ts) IS NULL) FROM '{p}'"
+    ).fetchone()[0]
+    assert filter_form == 1  # the correct answer
+    assert case_form == 0  # the bug — retire the FILTER routing when fixed
+    # second manifestation: WHERE pushdown drops the rows entirely
+    where_form = con.execute(
+        f"SELECT COUNT(*) FROM '{p}' WHERE DATE_TRUNC('day', ts) IS NULL"
+    ).fetchone()[0]
+    assert where_form == 0  # also the bug
+    # third manifestation: TWO FILTER aggregates sharing the expression
+    # re-trigger the misfold through common-subexpression elimination —
+    # each aggregate ALONE is correct (this is why ts expressions are
+    # excluded from the grammar's IS NULL slot: the oracle engine cannot
+    # evaluate the shape reliably in any compound query)
+    both = con.execute(
+        f"SELECT COUNT(*) FILTER (DATE_TRUNC('day', ts) IS NULL), "
+        f"COALESCE(SUM(1) FILTER (DATE_TRUNC('day', ts) IS NULL), 0) "
+        f"FROM '{p}'"
+    ).fetchone()
+    assert both == (0, 0)  # the CSE bug — both wrong together
