@@ -255,6 +255,77 @@ def _sf_from_dir(sf_dir: str) -> float:
     return -1.0
 
 
+# ---------------------------------------------------------------------------
+# A/A drift control (VERDICT r10 ask #5). Two rounds were partly burned on
+# phantom "regressions" that a bisect later proved to be ENVIRONMENT drift
+# (the identical r8 bits ran 1.1-1.36x their own recorded times on today's
+# box). These three sentinels are FROZEN — raw spark.sql over the raw
+# parquet, never routed through the registry or tables.py, never to be
+# edited — so their wall-clock can only move when the environment moves.
+# drift_factor = geometric mean of (today's sentinel median / its recorded
+# quiet-box baseline); the artifact reports both raw and drift-normalized
+# core totals so round-over-round comparisons stop needing manual bisects.
+# ---------------------------------------------------------------------------
+_SENTINELS = {
+    # CPU + scan bound: TPC-H Q1 shape (pushdown filter, decimal aggs)
+    "aa_scan_agg": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS rev "
+        "FROM aa_li WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    # shuffle bound: high-cardinality group key, two-phase hash agg
+    "aa_shuffle_group": (
+        "SELECT COUNT(*) AS n FROM (SELECT l_orderkey, l_partkey, "
+        "COUNT(*) AS c, SUM(l_quantity) AS s FROM aa_li "
+        "GROUP BY l_orderkey, l_partkey)"
+    ),
+    # sort bound: global range-partitioned sort, fully materialized
+    "aa_global_sort": (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM aa_li "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber"
+    ),
+}
+
+# Quiet-box medians recorded on the round-11 uncontended run (sf key ->
+# {sentinel: sec}); drift_factor is emitted only when the run's sf has a
+# recorded baseline. These values are measurement constants — update them
+# only from a deliberately quiet A/A run, never from a driver run.
+_SENTINEL_BASELINE: dict[float, dict[str, float]] = {
+    0.1: {},  # filled by the r11 quiet-box measurement below
+}
+
+
+def _run_sentinels(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
+    """Median wall-clock per frozen sentinel (one untimed warm-up each)."""
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .createOrReplaceTempView("aa_li")
+    times: dict[str, float] = {}
+    for name, sql in _SENTINELS.items():
+        _materialize(spark.sql(sql))
+        runs = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            _materialize(spark.sql(sql))
+            runs.append(time.monotonic() - t0)
+        times[name] = round(sorted(runs)[len(runs) // 2], 3)
+    return times
+
+
+def _drift_factor(sentinels: dict[str, float], sf: float) -> float | None:
+    base = _SENTINEL_BASELINE.get(sf)
+    if not base:
+        return None
+    ratios = [sentinels[k] / base[k] for k in base if k in sentinels]
+    if not ratios:
+        return None
+    prod = 1.0
+    for r in ratios:
+        prod *= r
+    return round(prod ** (1.0 / len(ratios)), 3)
+
+
 def _materialize(df) -> None:
     """Force full execution executor-side; rows are produced then dropped."""
     df.write.format("noop").mode("overwrite").save()
@@ -392,6 +463,13 @@ def main() -> None:
     # a suspiciously-fast fluke. Per-repeat raw times are kept in the
     # durable copy so the spread itself is auditable.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    # A/A drift control first (frozen sentinels; see _SENTINELS above)
+    sentinels = _run_sentinels(spark, sf_dir, repeats)
+    drift = _drift_factor(sentinels, _sf_from_dir(sf_dir))
+    print(f"bench: sentinels {sentinels} drift_factor={drift}",
+          file=sys.stderr)
+
     timings: dict[str, float] = {}
     raw_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -433,6 +511,11 @@ def main() -> None:
         "repeats": repeats,
         "warmup": 1,  # one untimed per-query run, see comment above
         "stat": "median",
+        "sentinels": sentinels,
+        "drift_factor": drift,
+        "core_total_drift_norm": (
+            round(core_total / drift, 3) if drift else None
+        ),
     }
     if errors:
         out["errors"] = errors
@@ -464,6 +547,7 @@ def main() -> None:
             "unit": "sec",
             "core_total": core_total,
             "core_n": out["core_n"],
+            "drift_factor": drift,
             "queries": {k: round(v, 2) for k, v in qdict.items()},
             "sf": _sf_from_dir(sf_dir),
             "cpus": int(cpus),
@@ -546,7 +630,11 @@ def main() -> None:
         with open(
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"),
+                # Default mirror is gitignored so automated (often
+                # contended) driver runs never clobber the curated
+                # uncontended BENCH_local.json; refresh that one
+                # explicitly with SPARK_GRAFT_BENCH_OUT=BENCH_local.json.
+                os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_mirror.json"),
             ),
             "w",
         ) as fh:

@@ -1011,3 +1011,227 @@ def gen_orderlimit(table: str, seed: int, profile: str = "default") -> Sql:
         )
 
     return Sql(q(e.duck), q(e.spark))
+
+
+# ===========================================================================
+# Round-11 widening: the MULTI-TABLE slots (VERDICT r10 ask #3). The
+# declared contract is any DuckDB SQL through con.SendQuery
+# (main.cc:181-182); joins, subqueries, and set operations were
+# curated-only until now. Every slot fuzzed so far surfaced real
+# divergence classes (D8, D9, X11, X12, H1-H4), so these three get the
+# same treatment: seeded generation, dual rendering through the ONE
+# formatter ledger above, one-row BIGINT fingerprints.
+#
+# Table pairs: the six fixture tables have pairwise-disjoint column
+# namespaces (TPC-H prefixes l_/o_/c_/p_ plus events' and documents'
+# distinct names — asserted by tests/test_fuzz_multitable.py), so
+# generated predicates stay unqualified and resolve identically in both
+# engines; self-joins are excluded rather than qualified.
+# ===========================================================================
+
+# (left, right, natural ON pair or None) — the natural FK is weighted but
+# random int-column ON pairs are also drawn (the ranges all overlap).
+JOIN_PAIRS: list[tuple[str, str, tuple[str, str] | None]] = [
+    ("lineitem", "orders", ("l_orderkey", "o_orderkey")),
+    ("orders", "customer", ("o_custkey", "c_custkey")),
+    ("lineitem", "part", ("l_partkey", "p_partkey")),
+    ("customer", "events", ("c_custkey", "user_id")),
+    ("part", "documents", ("p_partkey", "doc_id")),
+    ("events", "documents", ("event_id", "doc_id")),
+    ("customer", "documents", None),
+    ("orders", "events", None),
+]
+
+
+def _pair_rng(left: str, right: str, seed: int, offset: int) -> random.Random:
+    salt = zlib.crc32(f"{left}|{right}".encode("utf-8")) & 0xFFFF
+    return random.Random(salt * 1_000_003 + seed + offset)
+
+
+def gen_join(
+    left: str,
+    right: str,
+    seed: int,
+    natural: tuple[str, str] | None = None,
+    profile: str = "default",
+    prefix: str = "",
+) -> Sql:
+    """One dual-rendered two-table equi-join fingerprint query.
+
+    Shape: ``L <join type> R ON lcol = rcol [WHERE residual]`` where the
+    ON pair is the natural FK (weight 2) or a random int-column pair
+    (ranges overlap across all fixture tables), the join type is INNER or
+    LEFT, and the residual predicate is drawn from the WHERE-slot grammar
+    over the left table, optionally AND a right-table predicate. The
+    one-row fingerprint is (c, sl, sr, nr): row count, left-key sum,
+    COALESCEd right-key sum, and matched-right count — sl/sr catch
+    row-SET divergence that preserves the count, nr pins LEFT-join
+    null-extension. All terms are provably < 2^63 at fuzz scale (max key
+    1500 x worst-case many-to-many fanout ~1e6 rows at sf0.001).
+    """
+    r = _pair_rng(left, right, seed, 4_000_000)
+    lt, rt = FUZZ_TABLES[left], FUZZ_TABLES[right]
+    choices: list[tuple[str, str]] = []
+    if natural:
+        choices += [natural, natural]
+    choices += [
+        (r.choice(list(lt["int"])), r.choice(list(rt["int"])))
+        for _ in range(2)
+    ]
+    lcol, rcol = r.choice(choices)
+    jtype = r.choice(["JOIN", "JOIN", "LEFT JOIN"])
+    gl = PredicateGen(left, seed + 4_100_000, profile=profile)
+    gr = PredicateGen(right, seed + 4_200_000, profile=profile)
+    wl = gl.gen_bool(3)
+    where_d, where_s = f"({wl.duck})", f"({wl.spark})"
+    if r.random() < 0.5:
+        wr = gr.gen_bool(2)
+        if jtype == "LEFT JOIN":
+            # a right-table WHERE pred would collapse LEFT to INNER in
+            # both engines (valid but uninteresting); keep the
+            # null-extension observable by OR-ing the null case
+            where_d += f" AND (({wr.duck}) OR {rcol} IS NULL)"
+            where_s += f" AND (({wr.spark}) OR {rcol} IS NULL)"
+        else:
+            where_d += f" AND ({wr.duck})"
+            where_s += f" AND ({wr.spark})"
+    lkey, rkey = lt["key"], rt["key"]
+
+    def q(on_l: str, on_r: str, where: str) -> str:
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS c, "
+            f"CAST(COALESCE(SUM({lkey}), 0) AS BIGINT) AS sl, "
+            f"CAST(COALESCE(SUM(COALESCE({rkey}, 0)), 0) AS BIGINT) AS sr, "
+            f"CAST(COUNT({rkey}) AS BIGINT) AS nr "
+            f"FROM {prefix}{left} {jtype} {prefix}{right} "
+            f"ON {on_l} = {on_r} WHERE {where}"
+        )
+
+    return Sql(q(lcol, rcol, where_d), q(lcol, rcol, where_s))
+
+
+def gen_subquery_batch(
+    outer: str,
+    inner: str,
+    seed: int,
+    n: int = 4,
+    profile: str = "default",
+    prefix: str = "",
+) -> Sql:
+    """One dual-rendered one-row query fingerprinting `n` generated
+    IN / NOT IN / EXISTS / NOT EXISTS membership predicates.
+
+    Each predicate filters the OUTER table through a subquery over the
+    INNER table (uncorrelated IN/NOT IN over a generated int expression;
+    EXISTS/NOT EXISTS correlated on a random int-column pair, plus an
+    inner WHERE from the predicate grammar). Fingerprints are scalar
+    subqueries — (count, outer-key sum) per predicate — batched into one
+    SELECT so a whole batch is one query per engine. NOT IN keeps the
+    standard three-valued NULL semantics (inner NULLs empty the result)
+    in BOTH engines; the generated inner expression may be NULL-able on
+    purpose — the engines must agree on the emptiness too.
+    """
+    r = _pair_rng(outer, inner, seed, 5_000_000)
+    ot, it = FUZZ_TABLES[outer], FUZZ_TABLES[inner]
+    okey = ot["key"]
+    cols: list[tuple[str, str, str]] = []
+    for i in range(n):
+        shape = r.choice(["IN", "NOT IN", "EXISTS", "NOT EXISTS"])
+        gi = PredicateGen(inner, seed + 5_100_000 + i * 7919, profile=profile)
+        wi = gi.gen_bool(2)
+        if shape in ("IN", "NOT IN"):
+            ocol = r.choice(list(ot["int"]))
+            ie = gi.gen_int(2)
+            pred_d = (
+                f"{ocol} {shape} (SELECT {ie.duck} FROM {prefix}{inner} "
+                f"WHERE {wi.duck})"
+            )
+            pred_s = (
+                f"{ocol} {shape} (SELECT {ie.spark} FROM {prefix}{inner} "
+                f"WHERE {wi.spark})"
+            )
+        else:
+            ocol = r.choice(list(ot["int"]))
+            icol = r.choice(list(it["int"]))
+            pred_d = (
+                f"{shape} (SELECT 1 FROM {prefix}{inner} "
+                f"WHERE {icol} = {ocol} AND ({wi.duck}))"
+            )
+            pred_s = (
+                f"{shape} (SELECT 1 FROM {prefix}{inner} "
+                f"WHERE {icol} = {ocol} AND ({wi.spark}))"
+            )
+        cols.append((
+            f"c{i}",
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {prefix}{outer} "
+            f"WHERE {pred_d})",
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {prefix}{outer} "
+            f"WHERE {pred_s})",
+        ))
+        cols.append((
+            f"s{i}",
+            f"(SELECT CAST(COALESCE(SUM({okey}), 0) AS BIGINT) "
+            f"FROM {prefix}{outer} WHERE {pred_d})",
+            f"(SELECT CAST(COALESCE(SUM({okey}), 0) AS BIGINT) "
+            f"FROM {prefix}{outer} WHERE {pred_s})",
+        ))
+    duck = "SELECT " + ", ".join(f"{d} AS {a}" for a, d, _ in cols)
+    spark = "SELECT " + ", ".join(f"{s} AS {a}" for a, _, s in cols)
+    return Sql(duck, spark)
+
+
+_SETOPS = [
+    "UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+    "INTERSECT ALL", "EXCEPT ALL",
+]
+
+
+def gen_setop(
+    ta: str,
+    tb: str,
+    seed: int,
+    profile: str = "default",
+    prefix: str = "",
+) -> Sql:
+    """One dual-rendered set-operation fingerprint query.
+
+    Two generated branches — each ``SELECT CAST(int_expr AS BIGINT) AS x,
+    str_expr AS y FROM t WHERE pred`` over (possibly the same) fixture
+    table — combined with a drawn set op incl. the ALL variants (the
+    dedup-vs-ALL trap the verdict called out), then fingerprinted
+    order-insensitively as (row count, md5 row-hash sum). Branch columns
+    are int+string only: set-op equality over doubles has engine-specific
+    -0.0/NaN normalization with no faithful dual rendering, while NULL
+    grouping in set ops (NULL == NULL) is standard in both.
+    """
+    r = _pair_rng(ta, tb, seed, 6_000_000)
+    op = r.choice(_SETOPS)
+
+    def branch(t: str, g: PredicateGen) -> Sql:
+        ie = g.gen_int(2)
+        se = g.gen_str(2)
+        w = g.gen_bool(2)
+        return Sql(
+            f"SELECT CAST(({ie.duck}) AS BIGINT) AS x, ({se.duck}) AS y "
+            f"FROM {prefix}{t} WHERE {w.duck}",
+            f"SELECT CAST(({ie.spark}) AS BIGINT) AS x, ({se.spark}) AS y "
+            f"FROM {prefix}{t} WHERE {w.spark}",
+        )
+
+    ba = branch(ta, PredicateGen(ta, seed + 6_100_000, profile=profile))
+    bb = branch(tb, PredicateGen(tb, seed + 6_200_000, profile=profile))
+    # D7: int->string cast spelling differs per dialect
+    rowtxt = Sql(
+        "COALESCE(CAST(x AS VARCHAR), 'N') || '|' || COALESCE(y, 'N')",
+        "COALESCE(CAST(x AS STRING), 'N') || '|' || COALESCE(y, 'N')",
+    )
+    h = _md5_int(rowtxt)
+
+    def q(b1: str, b2: str, hx: str) -> str:
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS c, "
+            f"CAST(COALESCE(SUM({hx}), 0) AS BIGINT) AS hsum "
+            f"FROM (({b1}) {op} ({b2}))"
+        )
+
+    return Sql(q(ba.duck, bb.duck, h.duck), q(ba.spark, bb.spark, h.spark))

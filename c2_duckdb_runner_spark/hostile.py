@@ -97,8 +97,12 @@ def _rng(table: str, col: str) -> np.random.Generator:
     )
 
 
-def _inject(table: str, col: str, values: list, pool: list) -> pa.Array:
-    """NULL ~20% of rows and replace ~15% of the rest from `pool`."""
+def _inject(table: str, col: str, values: list, pool: list) -> list:
+    """NULL ~20% of rows and replace ~15% of the rest from `pool`.
+
+    Returns a plain Python list; callers wrap it in pa.array with the
+    column's own type (int width / float32-vs-64 must come from the
+    caller's arr.type, not be inferred here)."""
     r = _rng(table, col)
     n = len(values)
     out = list(values)

@@ -19,6 +19,7 @@ Oracle-parity discipline (SURVEY.md §7 "what's hard" #1):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -43,6 +44,10 @@ class Query:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # the undecorated function, kept so provenance tooling can hash the
+    # operator's actual source (inspect.getsource of the wrapper would
+    # hash the registry closure below instead)
+    src_fn: QueryFn | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -86,7 +91,10 @@ def register(key: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[key] = Query(key=key, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[key] = Query(
+            key=key, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "",
+            src_fn=fn,
+        )
         return wrapped
 
     return deco
@@ -204,3 +212,40 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     _load_all_modules()
     return {k: q.oracle for k, q in REGISTRY.items() if q.oracle is not None}
+
+
+def src_hashes() -> dict[str, dict[str, str]]:
+    """Per-key source provenance hashes for scale-sweep artifacts.
+
+    ``src_hash`` covers the operator's own function body plus its oracle
+    SQL; ``mod_hash`` covers the whole defining module file, catching
+    changes to same-module helpers the function calls. Sweep assembly
+    (tools/assemble_sweep.py) refuses to carry a prior round's 100x proof
+    for a key unless BOTH hashes are unchanged — the mechanical version
+    of the hand-asserted "code unchanged" provenance the r10 artifact
+    carried (VERDICT r10 ask #4).
+    """
+    import hashlib
+    import inspect
+
+    _load_all_modules()
+    out: dict[str, dict[str, str]] = {}
+    mod_cache: dict[str, str] = {}
+    for k, q in REGISTRY.items():
+        fn = q.src_fn or q.fn
+        src = inspect.getsource(fn)
+        path = inspect.getsourcefile(fn) or ""
+        if path not in mod_cache:
+            with open(path, "rb") as fh:
+                mod_cache[path] = hashlib.sha256(fh.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        h.update(src.encode())
+        h.update(b"\x00")
+        h.update((q.oracle or "").encode())
+        out[k] = {
+            "src_hash": h.hexdigest()[:16],
+            "mod_hash": mod_cache[path],
+            "module": os.path.relpath(path, os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+        }
+    return out

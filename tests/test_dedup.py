@@ -39,21 +39,44 @@ def test_minhash_lsh_verdict_row(spark, sf_dir):
 
 
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
-    """Near-identical token sets (jac >= 0.97) must land within hamming <= 8;
-    simhash pairs must at least cover most of them and stay plausible."""
-    from c2_duckdb_runner_spark.operators.dedup import _simhash_pairs
+    """Near-identical token sets (jac >= 0.97) must land within hamming <= 8.
+
+    Membership is probed directly against `_simhash_fingerprints` — the
+    same audit `dedup_simhash` itself performs since the r10 rewrite (the
+    old `_simhash_pairs` candidate generator went quadratic at the 100x
+    replica and was deleted): join the truth pairs to the fingerprint
+    table twice and check popcount(xor). The 9-block pigeonhole blocking
+    is sound for radius 8, so hamming <= 8 is equivalent to 'the blocked
+    production path would pair them'."""
+    from c2_duckdb_runner_spark.operators.dedup import _simhash_fingerprints
+    from pyspark.sql import functions as F
 
     exact = QUERIES["dedup_near_ngram_jaccard"](spark, sf_dir)
-    sim = _simhash_pairs(spark, sf_dir)
     high = {(r["a_id"], r["b_id"]) for r in exact.collect() if r["jac"] >= 0.97}
-    sim_pairs = _pairs(sim)
-    assert len(sim_pairs) > 0
+    assert high, "fixture must plant near-identical (jac >= 0.97) pairs"
+
+    fp = _simhash_fingerprints(spark, sf_dir)
+    truth = spark.createDataFrame(
+        [(a, b) for a, b in sorted(high)], "a_id BIGINT, b_id BIGINT"
+    )
+    probed = (
+        truth
+        .join(fp.select(F.col("doc_id").alias("a_id"),
+                        F.col("simhash").alias("a_sim")), "a_id")
+        .join(fp.select(F.col("doc_id").alias("b_id"),
+                        F.col("simhash").alias("b_sim")), "b_id")
+        .select("a_id", "b_id",
+                F.expr("bit_count(a_sim ^ b_sim)").alias("hamming"))
+        .collect()
+    )
+    # every truth pair must have both fingerprints present
+    assert len(probed) == len(high)
+    for r in probed:
+        assert 0 <= r["hamming"] <= 64
     # simhash is a lossy sketch: require >= 90% recall on the near-identical set
-    if high:
-        recall = len(high & sim_pairs) / len(high)
-        assert recall >= 0.9, f"simhash recall {recall:.2f} over {len(high)} pairs"
-    for r in sim.collect():
-        assert 0 <= r["hamming"] <= 8
+    within = sum(1 for r in probed if r["hamming"] <= 8)
+    recall = within / len(high)
+    assert recall >= 0.9, f"simhash recall {recall:.2f} over {len(high)} pairs"
 
 
 def test_simhash_verdict_row(spark, sf_dir):

@@ -4,7 +4,15 @@
 round-10 re-run of the 14 keys r9 deferred on oracle-side infeasibility,
 now closed with staged oracles. n_deferred goes to 0.
 
-Usage: python tools/assemble_sf10_r10.py NEW14.json OUT.json
+Per-key overrides (tools/sf10_r10_overrides.json) are applied LAST: the
+two keys whose operators changed mid-round were re-proven in dedicated
+runs after the new14 batch, and their entries (provenance "r10 re-proof
+(operator changed this round)") supersede. With the committed overrides
+file, this script reproduces the published CORRECTNESS_sf10_r10.json
+byte-for-byte (ADVICE r10). Round 11+ uses tools/assemble_sweep.py,
+which gates carries on source hashes instead of hand assertions.
+
+Usage: python tools/assemble_sf10_r10.py [NEW14.json [OUT.json [OVERRIDES.json]]]
 """
 
 from __future__ import annotations
@@ -36,6 +44,14 @@ def main() -> None:
         merged[k] = v
     missing = set(r9["oracle_deferred"]) - set(new14["results"])
     assert not missing, f"r9-deferred keys still unproven: {sorted(missing)}"
+
+    ov_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        REPO, "tools", "sf10_r10_overrides.json"
+    )
+    if os.path.exists(ov_path):
+        for k, v in json.load(open(ov_path)).items():
+            assert "provenance" in v, f"override {k} lacks provenance"
+            merged[k] = v
 
     n_pass = sum(
         1 for v in merged.values()

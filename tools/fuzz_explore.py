@@ -3,9 +3,11 @@
 
 Usage: python tools/fuzz_explore.py [N_PER_TABLE] [SF_DIR] [SLOT] [PROFILE]
 
-SLOT: where (default) | select | group | order — the round-10 widened
-slots reuse this loop: each non-where case is one dual-rendered query
-per seed, compared on its one-row BIGINT fingerprint. PROFILE: default |
+SLOT: where (default) | select | group | order | join | sub | setop —
+the round-10/11 widened slots reuse this loop: each non-where case is one
+dual-rendered query per seed, compared on its one-row BIGINT fingerprint
+(join/sub/setop iterate table PAIRS from fuzzing.JOIN_PAIRS instead of
+single tables). PROFILE: default |
 hostile (hostile drops X5 case mapping from the grammar; pair it with a
 hostile fixture dir built by c2_duckdb_runner_spark.hostile).
 
@@ -33,7 +35,58 @@ BATCH = 40
 
 
 def run_slot_pass(spark, con, tables, n, slot, profile):
-    """Widened slots: one query pair per seed, one-row fingerprints."""
+    """Widened slots: one query pair per seed, one-row fingerprints.
+
+    join/sub/setop (round 11) iterate fuzzing.JOIN_PAIRS: `tables` becomes
+    the pair list and the per-case generator closes over the pair."""
+    if slot in ("join", "sub", "setop"):
+        if slot == "join":
+            units = [
+                (f"{a}x{b}",
+                 lambda s, a=a, b=b, nat=nat: fuzzing.gen_join(
+                     a, b, s, nat, profile=profile))
+                for a, b, nat in fuzzing.JOIN_PAIRS
+            ]
+        elif slot == "sub":
+            units = [
+                (f"{a}<-{b}",
+                 lambda s, a=a, b=b: fuzzing.gen_subquery_batch(
+                     a, b, s, n=4, profile=profile))
+                for a, b, _ in fuzzing.JOIN_PAIRS[:6]
+            ]
+        else:
+            pairs = [(a, b) for a, b, _ in fuzzing.JOIN_PAIRS[:5]] + [
+                ("lineitem", "lineitem"), ("documents", "documents")]
+            units = [
+                (f"{a}+{b}",
+                 lambda s, a=a, b=b: fuzzing.gen_setop(a, b, s,
+                                                       profile=profile))
+                for a, b in pairs
+            ]
+        n_div = n_err = 0
+        t0 = time.time()
+        for tag, gen1 in units:
+            for s in range(n):
+                q = gen1(s)
+                try:
+                    a = tuple(spark.sql(q.spark).collect()[0])
+                    b = tuple(con.execute(q.duck).fetchone())
+                    if a != b:
+                        n_div += 1
+                        print(f"DIVERGE {slot} {tag} seed={s}: {a} vs {b}"
+                              f"\n  spark: {q.spark[:500]}"
+                              f"\n  duck:  {q.duck[:500]}")
+                except Exception as ex:  # noqa: BLE001
+                    n_err += 1
+                    print(f"ERROR {slot} {tag} seed={s}: {str(ex)[:200]}"
+                          f"\n  spark: {q.spark[:500]}"
+                          f"\n  duck:  {q.duck[:500]}")
+            print(f"{slot} {tag}: {n} seeds done ({time.time()-t0:.0f}s)",
+                  flush=True)
+        print(f"\ntotal: {n*len(units)} {slot} queries, {n_div} divergences, "
+              f"{n_err} errors in {time.time()-t0:.0f}s")
+        sys.exit(1 if (n_div or n_err) else 0)
+
     gen = {
         "select": fuzzing.gen_select_batch,
         "group": fuzzing.gen_groupagg,
