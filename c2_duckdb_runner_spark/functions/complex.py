@@ -80,20 +80,27 @@ def fn_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order lambdas: transform / filter / aggregate (int math — exact).
 
     DuckDB's range(1,4) is end-exclusive [1,2,3] = Spark sequence(1,3);
-    list_sum's BIGINT result is matched by casting the fold result."""
+    list_sum's BIGINT result is matched by casting the fold result.
+
+    Hostile hardening (r11): the lambda multiplies and mods by the data
+    column, so 0 / ±2^31 values hit ANSI REMAINDER_BY_ZERO and int
+    overflow where DuckDB yields NULL / BIGINT — pinned to one semantics
+    with try_mod (÷0 → NULL → filtered out, both engines) and 64-bit
+    lambda math (DuckDB range elements are BIGINT already)."""
     li = load(spark, sf_dir, "lineitem").filter("l_orderkey <= 100")
     seq3 = F.sequence(F.lit(1), F.lit(3))
-    ln = F.col("l_linenumber")
-    multiples = F.transform(seq3, lambda x: x * ln)
+    ln = F.col("l_linenumber").cast("long")
+    multiples = F.transform(seq3, lambda x: x.cast("long") * ln)
     return li.select(
         "l_orderkey",
         "l_linenumber",
         multiples.alias("multiples"),
-        F.filter(F.sequence(F.lit(1), F.lit(6)), lambda x: x % ln == 0).alias(
-            "divisible"
-        ),
+        F.filter(
+            F.sequence(F.lit(1), F.lit(6)),
+            lambda x: F.try_mod(x.cast("long"), ln) == 0,
+        ).alias("divisible"),
         F.aggregate(
-            multiples, F.lit(0), lambda acc, x: acc + x
+            multiples, F.lit(0).cast("long"), lambda acc, x: acc + x
         )
         .cast("bigint")
         .alias("mult_sum"),

@@ -354,12 +354,25 @@ def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_url_parse",
     oracle="""
+WITH s AS (
+  SELECT doc_id,
+         NULLIF(regexp_replace(lower(source), '[^a-z0-9]', '', 'g'), '')
+           AS src,
+         NULLIF(regexp_replace(lower(lang), '[^a-z0-9]', '', 'g'), '')
+           AS lg,
+         n_chars
+  FROM documents
+)
 SELECT doc_id,
-       lower(source) || '.example.org' AS host,
-       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
-       lang AS qlang,
-       CAST(n_chars AS VARCHAR) AS qn
-FROM documents
+       CASE WHEN lg IS NOT NULL AND n_chars IS NOT NULL
+            THEN src || '.example.org' END AS host,
+       CASE WHEN src IS NOT NULL AND lg IS NOT NULL AND n_chars IS NOT NULL
+            THEN '/docs/' || CAST(doc_id AS VARCHAR) END AS path,
+       CASE WHEN src IS NOT NULL AND n_chars IS NOT NULL THEN lg END
+         AS qlang,
+       CASE WHEN src IS NOT NULL AND lg IS NOT NULL
+            THEN CAST(n_chars AS VARCHAR) END AS qn
+FROM s
 """,
 )
 def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,15 +382,24 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected components by construction, so this differentially proves
     Spark's parser re-derives exactly the inputs (no UDF, codegen-friendly;
     the delegated-SQL slot at reference main.cc:164-169 admits the same
-    string surface)."""
+    string surface).
+
+    Hostile hardening (r11): free-form strings can make the synthesized
+    URL unparseable (spaces, '&', non-ASCII — Spark's ANSI parse_url then
+    ERRORS where the by-construction oracle still emits components), so
+    both sides sanitize source/lang to [a-z0-9] and NULL-out empties
+    first; a NULL component NULLs the whole URL via concat, and the
+    oracle mirrors that propagation per output column."""
     d = load(spark, sf_dir, "documents")
+    src = F.expr("NULLIF(regexp_replace(lower(source), '[^a-z0-9]', ''), '')")
+    lg = F.expr("NULLIF(regexp_replace(lower(lang), '[^a-z0-9]', ''), '')")
     url = F.concat(
         F.lit("https://"),
-        F.lower("source"),
+        src,
         F.lit(".example.org/docs/"),
         F.col("doc_id").cast("string"),
         F.lit("?lang="),
-        F.col("lang"),
+        lg,
         F.lit("&n="),
         F.col("n_chars").cast("string"),
     )

@@ -124,6 +124,8 @@ def udtf_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class SplitTokens:
         def eval(self, text: str) -> Iterator[tuple[int, str]]:
+            if text is None:  # NULL text -> no rows (== oracle's
+                return        # unnest over a NULL-length range)
             for i, tok in enumerate(text.split(" ")):
                 yield i, tok
 
@@ -220,6 +222,8 @@ def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(StructType(fields))
 
         def eval(self, text: str, n: int):
+            if text is None:  # NULL text -> no rows, as in split_tokens
+                return
             toks = text.split(" ")
             for i in range(len(toks) - n + 1):
                 yield (i + 1, *toks[i : i + n])
@@ -347,7 +351,9 @@ def udf_pandas_iterator_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         model = load_model()
         for n_tokens in batches:
-            yield model(n_tokens.astype("int64"))
+            # nullable Int64: NULL text -> NULL token count -> NULL score
+            # (astype("int64") would raise on the NaN a NULL becomes)
+            yield model(n_tokens.astype("Int64"))
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id",

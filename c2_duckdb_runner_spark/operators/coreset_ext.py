@@ -196,9 +196,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.arrays_zip(
-                    F.expr("slice(t, 1, size(t) - 2)"),
-                    F.expr("slice(t, 2, size(t) - 2)"),
-                    F.expr("slice(t, 3, size(t) - 2)"),
+                    F.expr("slice(t, 1, greatest(size(t) - 2, 0))"),
+                    F.expr("slice(t, 2, greatest(size(t) - 2, 0))"),
+                    F.expr("slice(t, 3, greatest(size(t) - 2, 0))"),
                 )
             ).alias("p"),
         )

@@ -237,7 +237,10 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nd"),
     )
     num = F.expr(_QC_NUM)
-    half_up = F.when(
+    # hostile empty text -> nc = 0 -> zero denominator: Spark `div`
+    # ANSI-errors where DuckDB `//` yields NULL; NULL is the pinned
+    # semantics (an empty document has no defined score)
+    half_up = F.when(F.expr("20000 * nw * nc") == 0, F.lit(None)).when(
         num >= 0, F.expr(f"({_QC_NUM} * 2000000 + 20000 * nw * nc) div (2 * 20000 * nw * nc)")
     ).otherwise(
         -F.expr(

@@ -98,8 +98,8 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.arrays_zip(
-                F.expr("slice(t, 1, size(t) - 1)"),
-                F.expr("slice(t, 2, size(t) - 1)"),
+                F.expr("slice(t, 1, greatest(size(t) - 1, 0))"),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
             )
         ).alias("p"),
     ).select("doc_id", F.concat_ws(" ", "p.0", "p.1").alias("g"))
@@ -112,9 +112,9 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.arrays_zip(
-                F.expr("slice(t, 1, size(t) - 2)"),
-                F.expr("slice(t, 2, size(t) - 2)"),
-                F.expr("slice(t, 3, size(t) - 2)"),
+                F.expr("slice(t, 1, greatest(size(t) - 2, 0))"),
+                F.expr("slice(t, 2, greatest(size(t) - 2, 0))"),
+                F.expr("slice(t, 3, greatest(size(t) - 2, 0))"),
             )
         ).alias("p"),
     ).select("doc_id", F.concat_ws(" ", "p.0", "p.1", "p.2").alias("g"))

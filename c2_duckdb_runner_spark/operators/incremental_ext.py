@@ -190,14 +190,23 @@ _PHASH_BITS = 12  # tiny on purpose: collision clusters must be demonstrable
 
 @register(
     "mm_image_phash_dedup_stub",
+    # Byte-wise pixel sampling via hex pairs: ascii(substring(...))
+    # indexed CODEPOINTS, which matched the bytes only while the fixture
+    # was all-ASCII (r11 hostile sweep); NULL/empty payloads yield no
+    # phash and are excluded from clustering on both sides.
     oracle=f"""
 WITH s AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
 ),
 pix AS (
   SELECT doc_id,
          list_transform(range(0, {_PHASH_BITS}),
-           i -> ascii(substring(text, 1 + (i * (n - 1)) // {_PHASH_BITS - 1}, 1)))
+           i -> CAST('0x' || substr(hx,
+                  2 * (1 + (i * (n - 1)) // {_PHASH_BITS - 1}) - 1, 2)
+                AS BIGINT))
            AS px
   FROM s
 ),
@@ -245,6 +254,8 @@ def mm_image_phash_dedup_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Self-contained closure (cloudpickle ships it by value; executors
         # need no repo on sys.path).
         def one(payload: bytes) -> int:
+            if payload is None or len(payload) == 0:
+                return None  # no pixels -> no signature (excluded below)
             n = len(payload)
             px = [payload[(i * (n - 1)) // (bits - 1)] for i in range(bits)]
             m = sum(px) // bits
@@ -258,13 +269,14 @@ def mm_image_phash_dedup_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "phash": pdf["payload"].map(one).astype("int64"),
+                    "phash": pdf["payload"].map(one).astype("Int64"),
                 }
             )
 
     hashed = src.mapInPandas(phash, "doc_id bigint, phash bigint")
     return (
-        hashed.groupBy("phash")
+        hashed.filter(F.col("phash").isNotNull())
+        .groupBy("phash")
         .agg(
             F.count("*").cast("bigint").alias("n_images"),
             F.min("doc_id").cast("bigint").alias("keeper_doc_id"),

@@ -31,7 +31,7 @@ from c2_duckdb_runner_spark.tables import load
     oracle="""
 WITH base AS (
   SELECT o_orderkey AS k, o_orderkey % 2 AS bucket,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          'base' AS status
   FROM orders WHERE o_orderkey % 5 = 0
 ),
@@ -74,7 +74,10 @@ def lakehouse_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame
     base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0).select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_orderkey") % 2).alias("bucket"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        # TRY_CAST: hostile ±Inf/NaN prices have no money representation
+        # -> NULL cents in BOTH engines (round() first makes the value
+        # integral, so the X4 try-cast round-vs-truncate gap can't bite)
+        F.expr("TRY_CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         F.lit("base").alias("status"),
     )
     marker = os.path.join(path, "_built")

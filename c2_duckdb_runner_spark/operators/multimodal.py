@@ -95,7 +95,8 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         import io
 
         def real_dims(payload: bytes):
-            if not has_pil or not payload.startswith(image_magics):
+            if payload is None or not has_pil \
+                    or not payload.startswith(image_magics):
                 return None
             try:
                 from PIL import Image
@@ -110,12 +111,18 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             # only the byte length, so compute them vectorized over the
             # whole Arrow batch, then overwrite the (rare at fixture scale,
             # dominant in production) rows whose payloads actually decode.
-            n = pdf["payload"].map(len)
-            width = (n % 509 + 16).astype("int32")
-            height = (n % 353 + 16).astype("int32")
+            # nullable Int64: a NULL payload (hostile fixture) yields NULL
+            # dimensions, matching the oracle's NULL octet_length chain
+            n = pdf["payload"].map(
+                lambda b: None if b is None else len(b)
+            ).astype("Int64")
+            width = (n % 509 + 16).astype("Int32")
+            height = (n % 353 + 16).astype("Int32")
             if has_pil:
                 for i, payload in enumerate(pdf["payload"]):
-                    dims = real_dims(bytes(payload))
+                    dims = real_dims(
+                        None if payload is None else bytes(payload)
+                    )
                     if dims is not None:
                         width.iloc[i], height.iloc[i] = dims
             yield pd.DataFrame(
@@ -125,7 +132,8 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bytes": pdf["n_bytes"],
                     "width": width,
                     "height": height,
-                    "n_pixels": (width * height).astype("int64"),
+                    "n_pixels": (width.astype("Int64")
+                                 * height.astype("Int64")),
                 }
             )
 
@@ -147,13 +155,23 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas side) and DuckDB's ROUND (half-away) pick different
     # neighbors; invisible until the replica's suffixed bytes produced
     # tie rows. Integer arithmetic has one rounding rule on both engines.
+    # The payload is BYTES: the oracle sums UTF-8 octets parsed from
+    # hex(encode(text)) two chars at a time. The previous ord(text[i])
+    # spelling indexed CODEPOINTS — identical on the all-ASCII fixture,
+    # wrong on hostile non-ASCII text (caught by the r11 hostile sweep).
+    # NULL/empty payloads yield NULL (the ÷0 guard both engines honor).
     oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
 SELECT doc_id,
-       CAST((2 * list_sum([CAST(ord(text[i]) AS BIGINT)
-                           FOR i IN range(1, length(text) + 1)]) * 1000000
-             + length(text) * 255)
-            // (2 * length(text) * 255) AS BIGINT) AS rms_ppm
-FROM documents
+       CAST(CASE WHEN n > 0 THEN
+         (2 * list_sum([CAST('0x' || substr(h, 2*i - 1, 2) AS BIGINT)
+                        FOR i IN range(1, n + 1)]) * 1000000
+          + n * 255) // (2 * n * 255) END AS BIGINT) AS rms_ppm
+FROM b
 """,
 )
 def mm_audio_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,11 +186,17 @@ def mm_audio_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             vals = []
             for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    vals.append(None)  # NULL/empty payload -> NULL energy
+                    continue
                 a = np.frombuffer(p, dtype=np.uint8)
                 s, d = int(a.sum()), len(a) * 255
                 # exact int ppm, half-up — matches the oracle bit-for-bit
                 vals.append((2 * s * 1_000_000 + d) // (2 * d))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rms_ppm": vals})
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "rms_ppm": pd.array(vals, dtype="Int64"),
+            })
 
     return src.mapInPandas(rms, schema="doc_id bigint, rms_ppm bigint")
 
@@ -182,18 +206,22 @@ _N_FRAMES, _FRAME_LEN = 4, 16
 
 @register(
     "mm_frame_sample_stub",
+    # Byte-level frames: offsets and checksums over UTF-8 OCTETS (hex-pair
+    # parsing), not codepoints — same hostile-sweep fix as mm_audio_rms_stub
     oracle=f"""
 WITH f AS (
-  SELECT doc_id, text, unnest(range(0, {_N_FRAMES})) AS frame_idx
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n,
+         unnest(range(0, {_N_FRAMES})) AS frame_idx
   FROM documents
 )
 SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       CAST(list_sum([CAST(ord(text[i]) AS BIGINT)
+       CAST(list_sum([CAST('0x' || substr(h, 2*i - 1, 2) AS BIGINT)
                       FOR i IN range(frame_idx * {_FRAME_LEN} + 1,
                                      frame_idx * {_FRAME_LEN} + {_FRAME_LEN} + 1)])
             % 256 AS INTEGER) AS checksum
 FROM f
-WHERE length(text) >= (frame_idx + 1) * {_FRAME_LEN}
+WHERE n >= (frame_idx + 1) * {_FRAME_LEN}
 """,
 )
 def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +235,8 @@ def mm_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, sums = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:  # NULL payload -> no frames (oracle's
+                    continue   # NULL-length WHERE excludes them)
                 for k in range(_N_FRAMES):
                     chunk = bytes(p[k * _FRAME_LEN : (k + 1) * _FRAME_LEN])
                     if len(chunk) == _FRAME_LEN:

@@ -46,7 +46,7 @@ WITH c AS (
 pc AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY user_id),
 pairs AS (
   SELECT c.user_id, COUNT(*) AS n_pairs
-  FROM c JOIN p ON c.user_id = p.user_id
+  FROM c JOIN p ON c.user_id IS NOT DISTINCT FROM p.user_id
               AND p.ms >= c.ms AND p.ms <= c.ms + {_HOUR_MS}
   GROUP BY c.user_id
 )
@@ -54,8 +54,9 @@ SELECT COALESCE(cc.user_id, pc.user_id) AS user_id,
        COALESCE(cc.n_clicks, 0) AS n_clicks,
        COALESCE(pc.n_purchases, 0) AS n_purchases,
        COALESCE(pairs.n_pairs, 0) AS n_pairs
-FROM cc FULL JOIN pc ON cc.user_id = pc.user_id
-LEFT JOIN pairs ON COALESCE(cc.user_id, pc.user_id) = pairs.user_id
+FROM cc FULL JOIN pc ON cc.user_id IS NOT DISTINCT FROM pc.user_id
+LEFT JOIN pairs
+  ON COALESCE(cc.user_id, pc.user_id) IS NOT DISTINCT FROM pairs.user_id
 """,
 )
 def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,8 +76,13 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pair_counts(key: tuple, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        p_ms = np.sort(pdf["ms"].to_numpy(dtype="int64"))
-        c_ms = cdf["ms"].to_numpy(dtype="int64")
+        # NULL timestamps never satisfy the window comparisons (three-
+        # valued logic in the oracle's join predicate), but their rows DO
+        # count toward n_clicks/n_purchases (COUNT(*)); NULL user_id is a
+        # GROUP key here (grouping semantics, null-safe on the oracle via
+        # IS NOT DISTINCT FROM)
+        p_ms = np.sort(pdf["ms"].dropna().to_numpy(dtype="int64"))
+        c_ms = cdf["ms"].dropna().to_numpy(dtype="int64")
         # per click: purchases in [c, c + 1h] — two binary searches
         n_pairs = int(
             (
@@ -86,7 +92,7 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.DataFrame(
             {
-                "user_id": [int(key[0])],
+                "user_id": pd.array([key[0]], dtype="Int64"),
                 "n_clicks": [len(cdf)],
                 "n_purchases": [len(pdf)],
                 "n_pairs": [n_pairs],

@@ -620,9 +620,13 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("nt").alias("n_tokens"),
         "vocab",
+        # nt <= 1 (hostile single-token source) zeroes the denominator:
+        # ANSI div ERRORS, DuckDB // yields NULL — NULL is the pin (the
+        # index is undefined for a one-token distribution)
         F.expr(
-            f"CAST(1000000 - (CAST(1000000 AS {_D38}) * coll)"
-            f" div (CAST(nt AS {_D38}) * (nt - 1)) AS BIGINT)"
+            f"CAST(CASE WHEN nt > 1 THEN "
+            f"1000000 - (CAST(1000000 AS {_D38}) * coll)"
+            f" div (CAST(nt AS {_D38}) * (nt - 1)) END AS BIGINT)"
         ).alias("gini_simpson_ppm"),
     )
 

@@ -201,7 +201,7 @@ _HURST_ORACLE = """
 WITH daily AS (
   SELECT event_type AS t, date_trunc('day', ts) AS d,
          CAST(COUNT(*) AS BIGINT) AS x
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 stat AS (
   SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
@@ -250,6 +250,10 @@ def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned cumsum window over the bounded series."""
     daily = (
         load(spark, sf_dir, "events")
+        # a timestamped series point without a timestamp is meaningless,
+        # and a NULL day's WINDOW placement differs per engine (Spark
+        # NULLS FIRST vs DuckDB NULLS LAST on ASC) — excluded, both sides
+        .filter(F.col("ts").isNotNull())
         .groupBy(
             F.col("event_type").alias("t"),
             F.date_trunc("day", "ts").alias("d"),
@@ -278,10 +282,13 @@ def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.expr("n * cx - i * sx")) - F.min(F.expr("n * cx - i * sx"))
         ).cast("bigint").alias("r_scaled"),
     )
+    # try_divide: a hostile zero-variance or single-day series zeroes a
+    # denominator, where ANSI / ERRORS and DuckDB yields NULL (probed:
+    # DOUBLE/0, BIGINT//0 and HUGEINT//0 are all NULL in DuckDB)
     rs_expr = (
-        "CAST(r_scaled AS DOUBLE)"
-        " / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "try_divide(CAST(r_scaled AS DOUBLE),"
+        " sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
     )
     return dev.select(
         F.col("t").alias("event_type"),
@@ -289,7 +296,7 @@ def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_scaled",
         F.round(F.expr(rs_expr), 6).alias("rs"),
         F.round(
-            F.expr(f"ln({rs_expr}) / ln(CAST(n AS DOUBLE))"), 6
+            F.expr(f"try_divide(ln({rs_expr}), ln(CAST(n AS DOUBLE)))"), 6
         ).alias("hurst_proxy"),
     )
 

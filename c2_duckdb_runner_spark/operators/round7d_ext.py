@@ -166,9 +166,12 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("n_words"),
         F.col("s").alias("n_sentences"),
         F.col("y").alias("n_syllables"),
+        # w = 0 (a hostile source with no [A-Za-z] words) zeroes the
+        # second divisor: ANSI div ERRORS, DuckDB // is NULL — pinned NULL
         F.expr(
-            "CAST(206835000 - (1015000 * w) div s - (84600 * y) div w"
-            " AS BIGINT)"
+            "CAST(CASE WHEN w > 0 THEN"
+            " 206835000 - (1015000 * w) div s - (84600 * y) div w"
+            " END AS BIGINT)"
         ).alias("flesch_milli"),
     )
 

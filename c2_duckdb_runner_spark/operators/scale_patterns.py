@@ -157,18 +157,28 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+
+    def band(col: str):
+        # The band is only a BLOCKING key (the exact BETWEEN recheck runs
+        # after the join), so hostile ±1e308/±Inf prices clamp to ±1e15
+        # before the floor instead of overflowing Spark's LONG floor —
+        # equal extremes still land in equal bands and survive the
+        # recheck, NaN never passes BETWEEN in either engine
+        c = F.least(F.greatest(F.col(col), F.lit(-1e15)), F.lit(1e15))
+        return F.floor(c / _BAND)
+
     probe = p.select(
         "p_partkey",
         "p_retailprice",
         F.explode(
             F.array(
-                F.floor(F.col("p_retailprice") / _BAND) - 1,
-                F.floor(F.col("p_retailprice") / _BAND),
-                F.floor(F.col("p_retailprice") / _BAND) + 1,
+                band("p_retailprice") - 1,
+                band("p_retailprice"),
+                band("p_retailprice") + 1,
             )
         ).alias("band"),
     )
-    fact = li.withColumn("band", F.floor(F.col("l_extendedprice") / _BAND))
+    fact = li.withColumn("band", band("l_extendedprice"))
     return (
         fact.join(
             probe,

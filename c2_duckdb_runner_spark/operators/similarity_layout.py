@@ -32,9 +32,10 @@ _MAX_DIST = 2
     oracle=f"""
 WITH p AS (
   SELECT p_partkey, p_name,
-         string_split(p_name, ' ')[2] AS block,
+         COALESCE(string_split(p_name, ' ')[2], p_name) AS block,
          length(p_name) AS ln
   FROM part
+  WHERE p_name IS NOT NULL
 ),
 cand AS (
   SELECT a.p_partkey AS k1, a.p_name AS name1,
@@ -80,7 +81,13 @@ def dedup_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale bug; neighbor-per-record, keeper flags, or cluster ids are the
     O(n) alternatives — this and dedup_semantic_keep / dedup_cluster_cc
     demonstrate all three.)"""
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # NULL names are not dedupable (r11 hostile pin — the oracle's NULL
+    # block silently dropped them while the same-name path kept them)
+    part = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .filter(F.col("p_name").isNotNull())
+    )
     # name-level relation: count + smallest and 2nd-smallest key per name
     keys2 = part.groupBy("p_name").agg(
         F.count("*").alias("c"),
@@ -97,7 +104,13 @@ def dedup_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "k1st",
         "k2nd",
-        F.split("p_name", " ").getItem(1).alias("block"),
+        # F.get: NULL for a one-token hostile name where ANSI getItem(1)
+        # errors (DuckDB's [2] is NULL on out-of-bounds); a one-token name
+        # then blocks on ITSELF, so identical single-token names still
+        # pair (the same-name path emits them — the oracle must too)
+        F.coalesce(
+            F.get(F.split("p_name", " "), 1), F.col("p_name")
+        ).alias("block"),
         F.length("p_name").alias("ln"),
     )
     # distinct-name pair distances (tiny: |names|² string DPs)

@@ -271,7 +271,8 @@ SELECT t.event_type, p.user_id,
        CAST(1 AS INT) AS within_eps
 FROM types t
 CROSS JOIN probe p
-LEFT JOIN ex e ON e.event_type = t.event_type AND e.user_id = p.user_id
+LEFT JOIN ex e ON e.event_type IS NOT DISTINCT FROM t.event_type
+              AND e.user_id = p.user_id
 """
 
 
@@ -325,7 +326,11 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.event_type: _cms_parse(bytes(r.sk)) for r in pdf.itertuples()
         }
         rows = []
-        for etype, (_tot, depth, width, ha, tab) in sorted(parsed.items()):
+        # hostile NULL event_type is a valid group key; None can't be
+        # compared to str, so sort with an explicit null-first key
+        for etype, (_tot, depth, width, ha, tab) in sorted(
+            parsed.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+        ):
             for u in probe:
                 rows.append(
                     (etype, u, _cms_estimate_long(depth, width, ha, tab, u))
@@ -371,8 +376,18 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"), "user_id", "c"
     )
     exacts = ex_typed.unionByName(ex_all)
-    j = est.join(F.broadcast(ns), "event_type").join(
-        F.broadcast(exacts), ["event_type", "user_id"], "left"
+    # null-safe joins: hostile NULL event_type is a GROUP here, and a
+    # plain equi-join silently drops it (r11 hostile pin, both sides)
+    ns_r = ns.withColumnRenamed("event_type", "ns_et")
+    ex_r = exacts.withColumnRenamed("event_type", "ex_et") \
+        .withColumnRenamed("user_id", "ex_uid")
+    j = (
+        est.join(F.broadcast(ns_r), F.expr("event_type <=> ns_et"))
+        .join(
+            F.broadcast(ex_r),
+            F.expr("event_type <=> ex_et AND user_id = ex_uid"),
+            "left",
+        )
     )
     exact_count = F.coalesce(F.col("c"), F.lit(0)).cast("long")
     ok = (exact_count <= F.col("est_count")) & (

@@ -159,16 +159,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_stop", F.expr(f"size(filter(toks, t -> t IN ({_STOPS})))")
         )
     )
-    avg_tok = F.col("nc") * 1.0 / F.col("nt")
-    punct = F.col("n_punct") * 1.0 / F.col("nc")
-    stop = F.col("n_stop") * 1.0 / F.col("nt")
+    # try_divide: an empty hostile document has nc = 0, where ANSI x/0
+    # ERRORS but DuckDB yields NULL — NULL-on-/0 is the pinned semantics
+    avg_tok = F.try_divide(F.col("nc") * 1.0, F.col("nt"))
+    punct = F.try_divide(F.col("n_punct") * 1.0, F.col("nc"))
+    stop = F.try_divide(F.col("n_stop") * 1.0, F.col("nt"))
     quality = 1.0 / (1.0 + F.exp(-(0.02 * avg_tok - 4.0 * punct + 2.0 * stop)))
     return d.select(
         "doc_id",
         F.col("nt").alias("n_tokens"),
         F.round(avg_tok, 6).alias("avg_tok_len"),
         F.round(punct, 6).alias("punct_ratio"),
-        F.round(F.col("n_upper") * 1.0 / F.col("nc"), 6).alias("upper_ratio"),
+        F.round(F.try_divide(F.col("n_upper") * 1.0, F.col("nc")), 6)
+        .alias("upper_ratio"),
         F.round(stop, 6).alias("stop_ratio"),
         F.round(quality, 6).alias("quality"),
     )
@@ -576,7 +579,9 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nfc(s: pd.Series) -> pd.Series:  # noqa: F821 (resolved eagerly)
         import unicodedata
 
-        return s.map(lambda x: unicodedata.normalize("NFC", x))
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
 
     planted = F.concat(
         # decomposed suffix spelled as escapes so no editor/encoding pass

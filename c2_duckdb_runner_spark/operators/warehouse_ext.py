@@ -95,7 +95,8 @@ WITH d AS (
 ),
 r AS (
   SELECT lang, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars NULLS FIRST, doc_id)
            AS i,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM d
@@ -136,9 +137,14 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_num"),
         (F.min("n") * F.sum("n_chars")).cast("bigint").alias("gini_den"),
+        # DECIMAL(38,0) widening + zero guard (r11 hostile): DuckDB's
+        # SUM(BIGINT) is HUGEINT so its *1000000 never overflows, while
+        # Spark's stays int64 and ANSI-errors at hostile ±2^31 n_chars;
+        # a zero denominator is NULL in DuckDB (//) vs ANSI error (div)
         F.expr(
-            "CAST(SUM((2 * i - n - 1) * n_chars) * 1000000 "
-            "div (MIN(n) * SUM(n_chars)) AS BIGINT)"
+            "CAST(CASE WHEN MIN(n) * SUM(n_chars) <> 0 THEN "
+            "CAST(SUM((2 * i - n - 1) * n_chars) AS DECIMAL(38,0)) "
+            "* 1000000 div (MIN(n) * SUM(n_chars)) END AS BIGINT)"
         ).alias("gini_ppm"),
     )
 

@@ -224,22 +224,36 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     task fan-out as the reference's directory scan (main.cc:297-324)."""
     path = _out(sf_dir, "documents_text")
     d = load(spark, sf_dir, "documents")
+
+    # Hostile-safe framing: free-form strings may contain the delimiter or
+    # embedded newlines (which the line sink would split into two records),
+    # so string fields ship hex-armored with an explicit \\N sentinel for
+    # NULL — the standard TSV-escape discipline, still one line per record
+    # through the schema-free text source. (hex, not base64: Spark's
+    # base64 expression emits MIME-chunked output with a CRLF every 76
+    # chars, which re-breaks the framing for long strings.)
+    def arm(col):
+        return F.coalesce(F.hex(F.encode(col, "utf-8")), F.lit("\\N"))
+
+    def disarm(col):
+        return F.when(col != "\\N", F.decode(F.unhex(col), "utf-8"))
+
     lines = d.select(
         F.concat_ws(
             "|",
-            F.col("doc_id").cast("string"),
-            "source",
-            "lang",
-            F.col("n_chars").cast("string"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("\\N")),
+            arm(F.col("source")),
+            arm(F.col("lang")),
+            F.coalesce(F.col("n_chars").cast("string"), F.lit("\\N")),
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
     parts = F.split(F.col("value"), r"\|")
     return spark.read.text(path).select(
-        parts.getItem(0).cast("bigint").alias("doc_id"),
-        parts.getItem(1).alias("source"),
-        parts.getItem(2).alias("lang"),
-        parts.getItem(3).cast("bigint").alias("n_chars"),
+        parts.getItem(0).try_cast("bigint").alias("doc_id"),
+        disarm(parts.getItem(1)).alias("source"),
+        disarm(parts.getItem(2)).alias("lang"),
+        parts.getItem(3).try_cast("bigint").alias("n_chars"),
     )
 
 

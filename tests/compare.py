@@ -15,6 +15,21 @@ import numpy as np
 import pandas as pd
 
 
+def _canon_nested(v):
+    """Element canonizer inside arrays/structs — see the nested-NA note in
+    canon_value."""
+    if v is None:
+        return "NA"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NA"
+        if math.isfinite(f) and f == int(f):
+            return int(f)
+        return f
+    return canon_value(v)
+
+
 def canon_value(v):
     if v is None:
         return None
@@ -40,8 +55,23 @@ def canon_value(v):
         return v.replace(microsecond=v.microsecond).isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, np.ndarray) and v.ndim == 0:
+        # DuckDB's fetchdf renders some NULL nested cells as 0-d object
+        # arrays; unwrap to the scalar (usually None) before canonizing
+        return canon_value(v.item())
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(canon_value(x) for x in v)
+        # Nested NULL vs NaN is UNRECOVERABLE through the pandas bridge:
+        # Spark's toPandas renders both as float nan inside arrays (an
+        # array<bigint> with a NULL element comes back float64), DuckDB's
+        # fetchdf returns masked arrays (mask = NULL) whose raw data slot
+        # is a fill value. Both are canonized to one "NA" sentinel and
+        # integral floats to int, so nested values compare on content;
+        # top-level columns keep the strict NULL != NaN distinction.
+        if isinstance(v, np.ma.MaskedArray):
+            vals = [None if m else x for x, m in zip(v.data.tolist(), v.mask)] \
+                if v.mask is not np.ma.nomask else v.data.tolist()
+            return tuple(_canon_nested(x) for x in vals)
+        return tuple(_canon_nested(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, canon_value(x)) for k, x in v.items()))
     if isinstance(v, (bytes, bytearray)):
@@ -56,6 +86,18 @@ def canon_value(v):
 def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
+    # DuckDB's fetchdf renders a NULL in a BOOLEAN column as float nan in
+    # an object column (Spark gives None); a bool column can never hold a
+    # real NaN, so nan -> None there is unambiguous
+    for c in cols:
+        if pdf[c].dtype == object:
+            vals = pdf[c].dropna()
+            if len(vals) and all(isinstance(x, (bool, np.bool_)) for x in vals):
+                pdf = pdf.copy()
+                pdf[c] = pdf[c].map(
+                    lambda x: None if (isinstance(x, float) and math.isnan(x))
+                    else x
+                )
     rows = [tuple(canon_value(v) for v in row) for row in pdf.itertuples(index=False)]
     rows.sort(key=repr)
     return rows
