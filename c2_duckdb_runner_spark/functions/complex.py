@@ -218,12 +218,18 @@ def fn_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Struct → JSON text serialization (compact, no whitespace in both)."""
+    """Struct → JSON text serialization (compact, no whitespace in both).
+
+    ignoreNullFields=false pins include-null emission: Spark's default
+    DROPS null struct fields ('{"id":11}') where DuckDB emits
+    '"type":null' — invisible until the hostile fixture NULLed
+    event_type (r11)."""
     ev = load(spark, sf_dir, "events").filter("event_id < 100")
     return ev.select(
         "event_id",
         F.to_json(
-            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type")),
+            {"ignoreNullFields": "false"},
         ).alias("j"),
     )
 

@@ -495,7 +495,8 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        printf('%s#%08d', c_mktsegment, c_custkey) AS tag,
-       printf('%.2f', c_acctbal) AS bal_txt,
+       CASE WHEN isfinite(c_acctbal) AND abs(c_acctbal) <= 1e15
+            THEN printf('%.2f', c_acctbal + 0.0) END AS bal_txt,
        printf('%x', c_custkey) AS key_hex
 FROM customer
 """,
@@ -507,12 +508,27 @@ def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (no rounding ambiguity at binary midpoints because the
     fixture generates 2-decimal values)."""
     c = load(spark, sf_dir, "customer")
+    # NULL pin (r11 hostile): DuckDB printf(NULL,...) is NULL, Spark
+    # format_string renders the literal text "null" — NULL-propagation is
+    # the declared semantics
+    tag = F.when(
+        F.col("c_mktsegment").isNotNull(),
+        F.format_string("%s#%08d", F.col("c_mktsegment"), F.col("c_custkey")),
+    )
+    # finite, |x| <= 1e15, (-0.0 + 0.0) normalized: the engines disagree
+    # on non-finite spellings ('NaN'/'Infinity' vs 'nan'/'inf'), the
+    # -0.0 sign, AND huge magnitudes (Java %f prints the double's
+    # shortest repr zero-padded, C prints the exact binary expansion —
+    # 1e308 renders differently); inside ±1e15 the roundings agree
+    bal = F.when(
+        F.expr("c_acctbal IS NOT NULL AND NOT isnan(c_acctbal) "
+               "AND abs(c_acctbal) <= 1e15"),
+        F.format_string("%.2f", F.col("c_acctbal") + F.lit(0.0)),
+    )
     return c.select(
         "c_custkey",
-        F.format_string("%s#%08d", F.col("c_mktsegment"), F.col("c_custkey")).alias(
-            "tag"
-        ),
-        F.format_string("%.2f", F.col("c_acctbal")).alias("bal_txt"),
+        tag.alias("tag"),
+        bal.alias("bal_txt"),
         F.format_string("%x", F.col("c_custkey")).alias("key_hex"),
     )
 

@@ -302,11 +302,18 @@ def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentile_disc",
+    # NaN pin (r11 hostile): Spark's ordered statistics rank NaN as the
+    # largest value while DuckDB's quantile_* ignore it — NaN is excluded
+    # from the ordered set on BOTH sides (rows kept NULL so group
+    # structure is unchanged)
     oracle="""
 SELECT l_returnflag,
-       CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25,
-       CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS q50,
-       CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS q75
+       CAST(quantile_disc(CASE WHEN NOT isnan(l_quantity)
+                               THEN l_quantity END, 0.25) AS DOUBLE) AS q25,
+       CAST(quantile_disc(CASE WHEN NOT isnan(l_quantity)
+                               THEN l_quantity END, 0.50) AS DOUBLE) AS q50,
+       CAST(quantile_disc(CASE WHEN NOT isnan(l_quantity)
+                               THEN l_quantity END, 0.75) AS DOUBLE) AS q75
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -317,18 +324,20 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (no midpoint arithmetic). This is the ordered-statistic the
     exact `agg_percentiles` (continuous) deliberately does NOT give; both
     buffer per-group values, the documented exact-percentile cost."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty_real", F.expr("CASE WHEN NOT isnan(l_quantity) THEN l_quantity END")
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
-                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY qty_real)"
             ).alias("q25"),
             F.expr(
-                "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)"
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY qty_real)"
             ).alias("q50"),
             F.expr(
-                "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)"
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY qty_real)"
             ).alias("q75"),
         )
     )

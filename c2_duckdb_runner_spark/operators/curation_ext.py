@@ -446,10 +446,10 @@ WITH e AS (
 w AS (
   SELECT event_id, user_id, event_type, ms,
          last_value(CASE WHEN event_type = 'error' THEN ms END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ms, event_id
+           OVER (PARTITION BY user_id ORDER BY ms NULLS FIRST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ms,
          first_value(CASE WHEN event_type = 'error' THEN ms END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ms, event_id
+           OVER (PARTITION BY user_id ORDER BY ms NULLS FIRST, event_id
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ms
   FROM e
 )

@@ -113,10 +113,15 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_full_outer",
     oracle=(
+        # +0.0 normalizes -0.0 (IEEE: -0.0 + 0.0 = +0.0 in both engines):
+        # Spark's DISTINCT collapses -0.0 with 0.0 (SPARK-32110), DuckDB
+        # keeps them distinct — r11 hostile pin
         "SELECT a.k AS k_small, b.k AS k_big FROM "
-        "(SELECT DISTINCT l_quantity AS k FROM lineitem WHERE l_quantity <= 10) a "
+        "(SELECT DISTINCT l_quantity + 0.0 AS k FROM lineitem "
+        " WHERE l_quantity <= 10) a "
         "FULL OUTER JOIN "
-        "(SELECT DISTINCT l_quantity AS k FROM lineitem WHERE l_quantity >= 5) b "
+        "(SELECT DISTINCT l_quantity + 0.0 AS k FROM lineitem "
+        " WHERE l_quantity >= 5) b "
         "ON a.k = b.k"
     ),
 )
@@ -124,8 +129,12 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER over two overlapping key sets — exercises null extension on
     both sides."""
     li = load(spark, sf_dir, "lineitem")
-    a = li.filter("l_quantity <= 10").select(F.col("l_quantity").alias("k")).distinct()
-    b = li.filter("l_quantity >= 5").select(F.col("l_quantity").alias("k")).distinct()
+    a = li.filter("l_quantity <= 10").select(
+        (F.col("l_quantity") + F.lit(0.0)).alias("k")
+    ).distinct()
+    b = li.filter("l_quantity >= 5").select(
+        (F.col("l_quantity") + F.lit(0.0)).alias("k")
+    ).distinct()
     return a.join(b, a.k == b.k, "full_outer").select(
         a.k.alias("k_small"), b.k.alias("k_big")
     )
@@ -191,15 +200,25 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof",
+    # NULL pin (r11 hostile): a NULL timestamp or NULL user can never
+    # asof-match (three-valued comparison); DuckDB's ASOF operator
+    # instead sorts NULL ts INTO the match order, so the oracle keeps
+    # NULL-key clicks out of the ASOF and re-attaches them unmatched
     oracle=(
         "SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ms, "
         "p.last_purchase_value FROM "
         "(SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events "
-        " WHERE event_type = 'click') c "
+        " WHERE event_type = 'click' AND ts IS NOT NULL "
+        " AND user_id IS NOT NULL) c "
         "ASOF LEFT JOIN "
         "(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS last_purchase_value "
-        " FROM events WHERE event_type = 'purchase') p "
-        "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        " FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL "
+        " AND user_id IS NOT NULL) p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts "
+        "UNION ALL "
+        "SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)), "
+        "CAST(NULL AS DOUBLE) FROM events "
+        "WHERE event_type = 'click' AND (ts IS NULL OR user_id IS NULL)"
     ),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,9 +234,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("pvalue")
-    )
+    # NULL ts/user never asof-match (r11 hostile pin, mirrored in the
+    # oracle): matchless purchases leave the union entirely; matchless
+    # clicks stay (LEFT semantics) and get their value NULLed below
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", F.col("value").alias("pvalue"))
     # Tag: purchases sort before clicks at identical ts (asof is inclusive >=)
     tagged = purchases.select(
         "user_id", "ts", F.lit(0).alias("side"),
@@ -233,14 +257,24 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the last purchase ROW (as a struct), not the last non-null
+    # VALUE: a matched purchase whose value is NULL must yield NULL, not
+    # fall through to an earlier purchase (r11 hostile pin — DuckDB's
+    # ASOF matches rows)
     joined = tagged.withColumn(
-        "last_purchase_value", F.last("pvalue", ignorenulls=True).over(w)
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("pvalue")), ignorenulls=True
+        ).over(w)["pvalue"],
     )
     return joined.filter(F.col("side") == 1).select(
         "event_id",
         "user_id",
         F.unix_millis("ts").alias("click_ms"),
-        "last_purchase_value",
+        F.when(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull(),
+            F.col("last_purchase_value"),
+        ).alias("last_purchase_value"),
     )
 
 

@@ -236,7 +236,8 @@ modes AS (
   WHERE r = 1 GROUP BY l_returnflag
 )
 SELECT m.l_returnflag,
-       ROUND(median(l.l_quantity), 6) AS median_qty,
+       ROUND(median(CASE WHEN NOT isnan(l.l_quantity)
+                         THEN l.l_quantity END), 6) AS median_qty,
        m.mode_qty
 FROM lineitem l JOIN modes m USING (l_returnflag)
 GROUP BY m.l_returnflag, m.mode_qty
@@ -258,8 +259,15 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("l_quantity").alias("mode_qty"))
     )
+    # NaN pin (r11 hostile): Spark median ranks NaN highest, DuckDB's
+    # ignores it — NaN leaves the ordered set on both sides
     med = li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 6).alias("median_qty")
+        F.round(
+            F.median(F.expr(
+                "CASE WHEN NOT isnan(l_quantity) THEN l_quantity END"
+            )),
+            6,
+        ).alias("median_qty")
     )
     return med.join(F.broadcast(modes), "l_returnflag").select(
         "l_returnflag", "median_qty", "mode_qty"
@@ -347,7 +355,7 @@ updates AS (
 ),
 unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates)
 SELECT event_id, ts_ms, value FROM unioned
-QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_ms DESC) = 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_ms DESC NULLS LAST, value DESC NULLS LAST) = 1
 """,
 )
 def upsert_merge_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:

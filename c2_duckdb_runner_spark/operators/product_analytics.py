@@ -177,7 +177,7 @@ WITH tagged AS (
 ), carried AS (
   SELECT user_id, event_id, ms, kind,
          LAST_VALUE(CASE WHEN kind = 0 THEN ms END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ms, kind, event_id
+           OVER (PARTITION BY user_id ORDER BY ms NULLS FIRST, kind, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS last_click_ms
   FROM tagged
@@ -227,16 +227,25 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof_forward",
+    # NULL pin (r11 hostile): same discipline as join_asof — NULL ts/user
+    # never matches; DuckDB's ASOF operator would otherwise sort NULLs
+    # into the match order
     oracle=(
         "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS purchase_ms, "
         "epoch_ms(c.ts) AS next_click_ms, "
         "epoch_ms(c.ts) - epoch_ms(p.ts) AS gap_ms FROM "
         "(SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events "
-        " WHERE event_type = 'purchase') p "
+        " WHERE event_type = 'purchase' AND ts IS NOT NULL "
+        " AND user_id IS NOT NULL) p "
         "ASOF LEFT JOIN "
         "(SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events "
-        " WHERE event_type = 'click') c "
-        "ON p.user_id = c.user_id AND p.ts <= c.ts"
+        " WHERE event_type = 'click' AND ts IS NOT NULL "
+        " AND user_id IS NOT NULL) c "
+        "ON p.user_id = c.user_id AND p.ts <= c.ts "
+        "UNION ALL "
+        "SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM events "
+        "WHERE event_type = 'purchase' AND (ts IS NULL OR user_id IS NULL)"
     ),
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +262,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    clicks = ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "ts")
     tagged = purchases.select(
         "user_id", "ts", F.lit(0).alias("side"), "event_id",
         F.lit(None).cast("timestamp").alias("cts"),
@@ -272,12 +285,16 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = tagged.withColumn(
         "next_click", F.first("cts", ignorenulls=True).over(w)
     )
+    matchable = F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     return joined.filter(F.col("side") == 0).select(
         "event_id",
         "user_id",
         F.unix_millis("ts").alias("purchase_ms"),
-        F.unix_millis("next_click").alias("next_click_ms"),
-        (F.unix_millis("next_click") - F.unix_millis("ts")).alias("gap_ms"),
+        F.when(matchable, F.unix_millis("next_click"))
+        .alias("next_click_ms"),
+        F.when(
+            matchable, F.unix_millis("next_click") - F.unix_millis("ts")
+        ).alias("gap_ms"),
     )
 
 

@@ -194,13 +194,18 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentiles",
+    # NaN/Inf pin (r11 hostile): Spark percentile ranks NaN highest and
+    # interpolates Inf to NaN differently than DuckDB's quantile_cont —
+    # non-finite values leave the ordered set on BOTH sides
     oracle=(
+        "WITH r AS (SELECT l_returnflag, CASE WHEN isfinite(l_extendedprice)"
+        " THEN l_extendedprice END AS px FROM lineitem) "
         "SELECT l_returnflag, "
-        "ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25, "
-        "ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, "
-        "ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75, "
-        "ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99 "
-        "FROM lineitem GROUP BY l_returnflag"
+        "ROUND(quantile_cont(px, 0.25), 6) AS p25, "
+        "ROUND(quantile_cont(px, 0.5), 6) AS p50, "
+        "ROUND(quantile_cont(px, 0.75), 6) AS p75, "
+        "ROUND(quantile_cont(px, 0.99), 6) AS p99 "
+        "FROM r GROUP BY l_returnflag"
     ),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,8 +220,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array of fractions buffers each group once and reads all four
     quantiles off the single sorted run — measured 4.4x over four separate
     ``percentile`` calls, which each rebuild that buffer."""
-    li = load(spark, sf_dir, "lineitem")
-    pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))")
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "px",
+        F.expr("CASE WHEN NOT isnan(l_extendedprice) AND "
+               "abs(l_extendedprice) <> double('inf') "
+               "THEN l_extendedprice END"),
+    )
+    pcts = F.expr("percentile(px, array(0.25, 0.5, 0.75, 0.99))")
     names = ["p25", "p50", "p75", "p99"]
     return (
         li.groupBy("l_returnflag")

@@ -46,7 +46,7 @@ _NTILE4_CASE = (
 
 _NTILE_HIST_ORACLE = """
 SELECT o_orderkey,
-       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS INT)
          AS quartile
 FROM orders
 """
@@ -78,8 +78,11 @@ def window_ntile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = o.agg(F.count("*").cast("bigint").alias("n"))
     wv = Window.partitionBy("o_totalprice").orderBy("o_orderkey")
+    offs_r = offs.withColumnRenamed("o_totalprice", "off_price")
     ranked = (
-        o.join(offs, "o_totalprice")  # shuffle join co-keyed with wv
+        # null-safe value-key join (r11 hostile): a NULL price is a value
+        # group too — plain equality silently dropped those rows
+        o.join(offs_r, F.expr("o_totalprice <=> off_price"))
         .select(
             "o_orderkey",
             "o_totalprice",

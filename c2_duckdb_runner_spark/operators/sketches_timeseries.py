@@ -183,8 +183,12 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_all = ev.agg(
         F.countDistinct("user_id").alias("exact_users")
     ).select(F.lit("__all__").alias("event_type"), "exact_users")
-    exact = exact_typed.unionByName(exact_all)
-    j = est.join(exact, "event_type")
+    exact = exact_typed.unionByName(exact_all).withColumnRenamed(
+        "event_type", "ex_et"
+    )
+    # null-safe: hostile NULL event_type is a group and must not be
+    # dropped by the verdict join (r11 hostile pin)
+    j = est.join(exact, F.expr("event_type <=> ex_et"))
     ok = F.abs(
         F.col("approx_users").cast("double") - F.col("exact_users")
     ) <= F.greatest(F.lit(3.0), 0.05 * F.col("exact_users"))
@@ -411,19 +415,23 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # p ± 2.5% rank — a ~25× looser band than GK's n/10000 guarantee,
         # so the bit is deterministic-true for both, yet a broken sketch
         # path still flips it. n is exact and hash-matched per group.
+        # non-finite values leave the ordered set on both sides (r11
+        # hostile NaN pin — engines rank NaN differently in quantiles)
+        "WITH r AS (SELECT l_returnflag, CASE WHEN isfinite(l_extendedprice)"
+        " THEN l_extendedprice END AS px FROM lineitem) "
         "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(CASE WHEN "
-        "approx_quantile(l_extendedprice, 0.5) BETWEEN "
-        "  quantile_cont(l_extendedprice, 0.475) AND "
-        "  quantile_cont(l_extendedprice, 0.525) "
-        "AND approx_quantile(l_extendedprice, 0.95) BETWEEN "
-        "  quantile_cont(l_extendedprice, 0.925) AND "
-        "  quantile_cont(l_extendedprice, 0.975) "
-        "AND approx_quantile(l_extendedprice, 0.99) BETWEEN "
-        "  quantile_cont(l_extendedprice, 0.965) AND "
-        "  quantile_cont(l_extendedprice, 1.0) "
+        "approx_quantile(px, 0.5) BETWEEN "
+        "  quantile_cont(px, 0.475) AND "
+        "  quantile_cont(px, 0.525) "
+        "AND approx_quantile(px, 0.95) BETWEEN "
+        "  quantile_cont(px, 0.925) AND "
+        "  quantile_cont(px, 0.975) "
+        "AND approx_quantile(px, 0.99) BETWEEN "
+        "  quantile_cont(px, 0.965) AND "
+        "  quantile_cont(px, 1.0) "
         "THEN 1 ELSE 0 END AS INT) AS within_rank_err "
-        "FROM lineitem GROUP BY l_returnflag"
+        "FROM r GROUP BY l_returnflag"
     ),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,17 +445,34 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     its exact percentiles at p ± 2.5% rank — alongside the exact group
     count; tests/test_sketches.py additionally pins the tight n/10000 GK
     bound against the exact ordered statistic."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "px",
+        F.expr("CASE WHEN NOT isnan(l_extendedprice) AND "
+               "abs(l_extendedprice) <> double('inf') "
+               "THEN l_extendedprice END"),
+    )
+    # DISCRETE brackets on the Spark side (r11 hostile): GK's estimate is
+    # an ACTUAL data value, so at hostile-shrunk group sizes it can sit
+    # below the INTERPOLATED p-2.5% bracket while still being rank-exact;
+    # percentile_disc brackets are the rank-sound bound for a discrete
+    # estimator (est's cume rank in [p-eps, p+eps] implies
+    # disc(p-eps) <= est <= disc(p+eps)). DuckDB keeps cont brackets for
+    # its interpolating t-digest. An all-NaN/NULL group is vacuously
+    # unverified (bit 0) in both engines.
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+            "approx_percentile(px, array(0.5, 0.95, 0.99), 10000)"
         ).alias("pcts"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.475D, 0.925D, 0.965D))"
+        F.array(
+            F.expr("percentile_disc(0.475) WITHIN GROUP (ORDER BY px)"),
+            F.expr("percentile_disc(0.925) WITHIN GROUP (ORDER BY px)"),
+            F.expr("percentile_disc(0.965) WITHIN GROUP (ORDER BY px)"),
         ).alias("lo"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.525D, 0.975D, 1.0D))"
+        F.array(
+            F.expr("percentile_disc(0.525) WITHIN GROUP (ORDER BY px)"),
+            F.expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY px)"),
+            F.expr("percentile_disc(1.0) WITHIN GROUP (ORDER BY px)"),
         ).alias("hi"),
     )
     ok = F.expr(
@@ -456,7 +481,9 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pcts[2] BETWEEN lo[2] AND hi[2]"
     )
     return agg.select(
-        "l_returnflag", "n", ok.cast("int").alias("within_rank_err")
+        "l_returnflag",
+        "n",
+        F.coalesce(ok, F.lit(False)).cast("int").alias("within_rank_err"),
     )
 
 
@@ -556,17 +583,19 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # asserts its own approx-median machinery is within +-2.5% rank of
         # exact (Spark: KLL sketches MERGED across groups — the
         # re-aggregatable path; DuckDB: approx_quantile).
-        "WITH g AS ("
+        "WITH r AS (SELECT l_returnflag, CASE WHEN isfinite(l_extendedprice)"
+        " THEN l_extendedprice END AS px FROM lineitem), "
+        "g AS ("
         "  SELECT l_returnflag, COUNT(*) AS n, "
-        "         approx_quantile(l_extendedprice, 0.5) AS est, "
-        "         quantile_cont(l_extendedprice, 0.475) AS lo, "
-        "         quantile_cont(l_extendedprice, 0.525) AS hi "
-        "  FROM lineitem GROUP BY l_returnflag "
+        "         approx_quantile(px, 0.5) AS est, "
+        "         quantile_cont(px, 0.475) AS lo, "
+        "         quantile_cont(px, 0.525) AS hi "
+        "  FROM r GROUP BY l_returnflag "
         "  UNION ALL "
-        "  SELECT '__all__', COUNT(*), approx_quantile(l_extendedprice, 0.5),"
-        "         quantile_cont(l_extendedprice, 0.475), "
-        "         quantile_cont(l_extendedprice, 0.525) "
-        "  FROM lineitem"
+        "  SELECT '__all__', COUNT(*), approx_quantile(px, 0.5),"
+        "         quantile_cont(px, 0.475), "
+        "         quantile_cont(px, 0.525) "
+        "  FROM r"
         ") "
         "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
         "CAST(CASE WHEN est BETWEEN lo AND hi THEN 1 ELSE 0 END AS INT) "
@@ -583,13 +612,17 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict; the global row's estimate comes from the merged sketch, so a
     broken merge path flips the '__all__' bit."""
     li = load(spark, sf_dir, "lineitem").withColumn(
-        "price_d", F.col("l_extendedprice").cast("double")
+        "price_d",
+        F.expr("CASE WHEN NOT isnan(l_extendedprice) AND "
+               "abs(l_extendedprice) <> double('inf') "
+               "THEN CAST(l_extendedprice AS DOUBLE) END"),
     )
     per_flag = li.groupBy("l_returnflag").agg(
         F.expr("kll_sketch_agg_double(price_d)").alias("sk"),
         F.count("*").alias("n"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.475D, 0.525D))"
+        F.array(
+            F.expr("percentile_disc(0.475) WITHIN GROUP (ORDER BY price_d)"),
+            F.expr("percentile_disc(0.525) WITHIN GROUP (ORDER BY price_d)"),
         ).alias("br"),
     )
     flag_rows = per_flag.select(
@@ -603,10 +636,13 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("kll_merge_agg_double(sk)").alias("sk"),
         F.sum("n").alias("n"),
     )
+    # discrete brackets (r11 hostile): KLL's quantile is an actual data
+    # value — rank-sound bounds are percentile_disc, not interpolation
     global_br = li.agg(
-        F.expr("percentile(l_extendedprice, array(0.475D, 0.525D))").alias(
-            "br"
-        )
+        F.array(
+            F.expr("percentile_disc(0.475) WITHIN GROUP (ORDER BY price_d)"),
+            F.expr("percentile_disc(0.525) WITHIN GROUP (ORDER BY price_d)"),
+        ).alias("br")
     )
     all_row = merged.crossJoin(F.broadcast(global_br)).select(
         F.lit("__all__").alias("l_returnflag"),
@@ -619,7 +655,7 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
-        F.col("est").between(F.col("lo"), F.col("hi"))
-        .cast("int")
-        .alias("within_rank_err"),
+        F.coalesce(
+            F.col("est").between(F.col("lo"), F.col("hi")), F.lit(False)
+        ).cast("int").alias("within_rank_err"),
     )

@@ -68,7 +68,7 @@ SELECT o_orderkey, o_orderpriority,
        ROUND(cume_dist() OVER w, 6) AS cume,
        nth_value(o_orderkey, 2) OVER w AS second_key
 FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice NULLS FIRST, o_orderkey)
 """,
 )
 def window_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,7 +31,7 @@ WITH feed AS (
   SELECT o_custkey, o_orderstatus,
          epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms, o_orderkey,
          LAG(o_orderstatus) OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey) AS prev
+                                  ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS prev
   FROM orders
 ),
 versions AS (
@@ -54,7 +54,7 @@ tagged AS (
 carried AS (
   SELECT k, ms, is_probe, probe_id,
          last_value(status IGNORE NULLS)
-           OVER (PARTITION BY k ORDER BY ms, is_probe, id
+           OVER (PARTITION BY k ORDER BY ms NULLS FIRST, is_probe, id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS status_at
   FROM tagged

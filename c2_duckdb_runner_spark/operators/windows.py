@@ -26,7 +26,7 @@ from c2_duckdb_runner_spark.tables import load
     oracle=(
         "SELECT o_custkey, o_orderkey, rn FROM ("
         " SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
-        "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn"
+        "  (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn"
         " FROM orders) t WHERE rn <= 3"
     ),
 )
@@ -44,10 +44,10 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_dense",
     oracle=(
         "SELECT l_orderkey, l_linenumber, "
-        "RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber)"
+        "RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC NULLS LAST, l_linenumber NULLS FIRST)"
         " AS rk, "
-        "DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, "
-        "l_linenumber) AS drk "
+        "DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity "
+        "DESC NULLS LAST, l_linenumber NULLS FIRST) AS drk "
         "FROM lineitem"
     ),
 )
@@ -69,8 +69,8 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_lead",
     oracle=(
         "SELECT user_id, event_id, "
-        "LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, "
-        "LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value "
+        "LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_value, "
+        "LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS next_value "
         "FROM events"
     ),
 )
@@ -147,8 +147,8 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile_percent",
     oracle=(
         "SELECT o_orderkey, "
-        "NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile, "
-        "ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank "
+        "NTILE(4) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS quartile, "
+        "ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey), 6) AS pct_rank "
         "FROM orders"
     ),
 )
@@ -167,9 +167,9 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_first_last",
     oracle=(
         "SELECT DISTINCT user_id, "
-        "FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) "
         " AS first_event, "
-        "LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id "
         " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event "
         "FROM events"
     ),
