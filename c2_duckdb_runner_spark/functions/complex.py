@@ -327,10 +327,16 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_str_to_map",
+    # r11 hostile pins: the round-trip property only holds for
+    # delimiter-free values, so [,:] sanitize on both sides; a NULL field
+    # NULLs the whole settings string (concat propagation), so both
+    # outputs guard on both inputs
     oracle="""
 SELECT event_id,
-       'u' || CAST(user_id AS VARCHAR) AS uid,
-       event_type AS etype
+       CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL
+            THEN 'u' || CAST(user_id AS VARCHAR) END AS uid,
+       CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL
+            THEN regexp_replace(event_type, '[,:]', '_', 'g') END AS etype
 FROM events
 """,
 )
@@ -345,7 +351,7 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("uid:u"),
         F.col("user_id").cast("string"),
         F.lit(",etype:"),
-        F.col("event_type"),
+        F.regexp_replace("event_type", "[,:]", "_"),
     )
     m = F.expr("str_to_map(s, ',', ':')")
     return ev.select("event_id", s.alias("s")).select(
@@ -413,9 +419,14 @@ def fn_array_of_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_from_csv",
     oracle="""
-SELECT e.event_id, e.user_id AS uid, e.event_type AS etype,
-       round(e.value, 3) AS val
-FROM events e
+SELECT e.event_id,
+       CASE WHEN ok THEN e.user_id END AS uid,
+       CASE WHEN ok THEN
+         NULLIF(regexp_replace(e.event_type, '[,"]', '_', 'g'), '') END
+         AS etype,
+       CASE WHEN ok THEN round(e.value, 3) END AS val
+FROM (SELECT *, user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL AS ok FROM events) e
 """,
 )
 def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,11 +436,19 @@ def fn_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, and the probed fields must re-derive the inputs. value rides
     as round(...,3) text so the double round-trips exactly."""
     ev = load(spark, sf_dir, "events")
-    line = F.concat_ws(
-        ",",
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.round("value", 3).cast("string"),
+    # r11 hostile pins: CSV-breaking chars sanitized; concat_ws SKIPS
+    # NULL fields (silent field shift), so a NULL in any field NULLs the
+    # whole line instead — mirrored in the oracle
+    line = F.when(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull(),
+        F.concat_ws(
+            ",",
+            F.col("user_id").cast("string"),
+            F.regexp_replace("event_type", '[,"]', "_"),
+            F.round("value", 3).cast("string"),
+        ),
     )
     parsed = ev.select("event_id", line.alias("line")).select(
         "event_id",

@@ -180,9 +180,11 @@ _LPA_ROUNDS = 3
 _EDGES_SQL = f"""
   SELECT DISTINCT o_custkey AS src, {_OFFSET} + l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
   UNION
   SELECT DISTINCT {_OFFSET} + l_suppkey AS src, o_custkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 """
 
 

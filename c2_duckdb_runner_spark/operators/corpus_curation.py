@@ -60,12 +60,18 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines can replay. Map-only; at 100 TB this is scan → regex → write
     with zero shuffles, all inside codegen."""
     d = load(spark, sf_dir, "documents")
-    raw = F.format_string(
-        "%s contact user%d@mail-%d.example.com call 555-%04d-1234",
-        F.col("text"),
-        F.col("doc_id"),
-        F.col("doc_id") % 7,
-        F.col("doc_id") % 10000,
+    # NULL pin (r11 hostile): DuckDB printf propagates a NULL text to a
+    # NULL raw (NULL doc -> NULL outputs); Spark format_string would
+    # print the literal "null", so the guard pins propagation
+    raw = F.when(
+        F.col("text").isNotNull(),
+        F.format_string(
+            "%s contact user%d@mail-%d.example.com call 555-%04d-1234",
+            F.col("text"),
+            F.col("doc_id"),
+            F.col("doc_id") % 7,
+            F.col("doc_id") % 10000,
+        ),
     )
     t = d.select("doc_id", raw.alias("raw"))
     redacted = F.regexp_replace(

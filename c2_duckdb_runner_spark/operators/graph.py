@@ -29,12 +29,18 @@ from c2_duckdb_runner_spark.tables import load
 _OFFSET = 10_000_000
 _ITERS = 3
 
+# NULL endpoints are not graph nodes (r11 hostile pin): a NULL custkey/
+# suppkey would ride Spark's null-grouping through aggregation steps but
+# drop out of the oracle's equality joins — excluded at the source, both
+# sides, for every consumer of this edge list.
 _EDGES_SQL = f"""
   SELECT DISTINCT o_custkey AS src, {_OFFSET} + l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
   UNION
   SELECT DISTINCT {_OFFSET} + l_suppkey AS src, o_custkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 """
 
 
@@ -47,6 +53,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs instead of 2|E|.
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select(
             "o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp")
         )
@@ -144,6 +153,7 @@ _MAX_ROUNDS = 14  # unroll depth; convergence lands ~round 11 at all sfs
 _DIRECTED_EDGES_SQL = f"""
   SELECT DISTINCT o_custkey AS src, {_OFFSET} + l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 """
 
 
@@ -219,6 +229,10 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = scratch_persist(
         o.join(l, o.o_orderkey == l.l_orderkey)
+        # NULL endpoints are not graph nodes (r11 hostile pin)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select(
             F.col("o_custkey").alias("src"),
             (F.lit(_OFFSET) + F.col("l_suppkey")).alias("dst"),

@@ -271,7 +271,7 @@ WITH d AS (
 ),
 cum AS (
   SELECT lang, doc_id, n_chars, w,
-         SUM(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+         SUM(w) OVER (PARTITION BY lang ORDER BY n_chars NULLS FIRST, doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cw,
          SUM(w) OVER (PARTITION BY lang) AS tw
@@ -282,7 +282,7 @@ SELECT lang, CAST(tw AS BIGINT) AS total_w,
 FROM (
   SELECT lang, tw, n_chars,
          ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY n_chars, doc_id) AS rn
+                            ORDER BY n_chars NULLS FIRST, doc_id) AS rn
   FROM cum WHERE 2 * cw >= tw
 ) WHERE rn = 1
 """,

@@ -44,9 +44,11 @@ _W_RET, _W_COM, _W_FAR = 2, 6, 3  # ≙ 1/p : 1 : 1/q with p=3, q=2 (scaled ×6)
 _EDGES_SQL = f"""
   SELECT DISTINCT o_custkey AS src, {_OFFSET} + l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
   UNION
   SELECT DISTINCT {_OFFSET} + l_suppkey AS src, o_custkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 """
 
 
@@ -137,6 +139,10 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        # NULL endpoints are not graph nodes (r11 hostile pin)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select("o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp"))
         .distinct()
     )

@@ -471,7 +471,8 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
-  FROM orders GROUP BY o_custkey, o_orderpriority
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY o_custkey, o_orderpriority
 )
 SELECT o_custkey,
        (MAX({'c': cnt, 'p': o_orderpriority})).p AS mode_priority,
@@ -486,8 +487,12 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable; ties resolve to the lexicographically LARGEST
     value at equal count in both engines (struct comparison orders by
     count, then value)."""
+    # NULL values are not mode candidates (r11 hostile pin: DuckDB's
+    # struct-MAX ranks a NULL member LARGEST, Spark smallest — excluding
+    # NULL is the only faithful shared semantics)
     c = (
         load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
         .groupBy("o_custkey", "o_orderpriority")
         .agg(F.count("*").alias("cnt"))
     )

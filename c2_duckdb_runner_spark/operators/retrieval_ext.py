@@ -237,6 +237,7 @@ _WEDGE_WIDTH_CACHE: dict = {}
 WITH cs AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 ),
 cdeg AS (SELECT c, COUNT(*) AS cd FROM cs GROUP BY c),
 kept AS (
@@ -319,6 +320,9 @@ def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
+        # NULL endpoints are not graph nodes (r11 hostile pin)
+        .filter(F.col("o_custkey").isNotNull()
+                & F.col("l_suppkey").isNotNull())
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )

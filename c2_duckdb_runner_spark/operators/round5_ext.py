@@ -529,7 +529,8 @@ def _hits_oracle() -> str:
     ctes = [
         # directed purchase edges: customer (hub) -> supplier (authority)
         "edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
-        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)",
         "hubs AS (SELECT DISTINCT c FROM edges)",
         "auths AS (SELECT DISTINCT s FROM edges)",
         "h0 AS (SELECT c, CAST(1000000 AS BIGINT) AS h FROM hubs)",
@@ -589,8 +590,12 @@ def graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTE chain (graph.py's PageRank recipe)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        # NULL endpoints are not graph nodes (r11 hostile pin)
+        .filter(F.col("o_custkey").isNotNull()
+                & F.col("l_suppkey").isNotNull())
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
     )
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))

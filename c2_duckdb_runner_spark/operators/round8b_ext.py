@@ -50,11 +50,12 @@ _STK_ORACLE = f"""
 WITH w AS (
   SELECT ({_DUCK_MS} // 3600000) * 3600000 AS win_start_ms,
          event_type, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT win_start_ms, event_type, n, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start_ms
-                               ORDER BY n DESC, event_type ASC) AS rnk
+                               ORDER BY n DESC, event_type ASC NULLS FIRST)
+    AS rnk
   FROM w
 ) WHERE rnk <= {_TOPK_K}
 """

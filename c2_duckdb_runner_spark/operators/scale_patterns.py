@@ -315,13 +315,18 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram_equiwidth",
     oracle="""
 WITH mm AS (
-  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  SELECT MIN(CASE WHEN abs(l_extendedprice) <= 1e15
+             THEN l_extendedprice END) AS lo,
+         MAX(CASE WHEN abs(l_extendedprice) <= 1e15
+             THEN l_extendedprice END) AS hi
   FROM lineitem
 ),
 b AS (
   SELECT l_returnflag,
-         CAST(least(floor((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 10)),
-                    9) AS INT) AS bucket
+         CASE WHEN abs(l_extendedprice) <= 1e15 THEN
+           CAST(least(floor((l_extendedprice - mm.lo)
+                            / ((mm.hi - mm.lo) / 10)), 9) AS INT)
+         END AS bucket
   FROM lineitem, mm
 )
 SELECT b.l_returnflag, b.bucket,
@@ -345,17 +350,30 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so the differential is exact; only the float EDGES are
     rounded for display."""
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # finite-only domain (r11 hostile pin): lo/hi over ±Inf/NaN poison
+    # every bucket edge; non-finite/NULL prices take the NULL bucket
+    # |x| <= 1e15 (NaN/±Inf fail the comparison too): ±1e308 values make
+    # hi-lo overflow to Inf and the bucket arithmetic becomes engine-
+    # dependent NaN soup — the histogram domain is bounded instead
+    finite = F.expr("CASE WHEN abs(l_extendedprice) <= 1e15 "
+                    "THEN l_extendedprice END")
     mm = li.agg(
-        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+        F.min(finite).alias("lo"), F.max(finite).alias("hi")
     )
     w = (F.col("hi") - F.col("lo")) / 10
     return (
         li.crossJoin(F.broadcast(mm))
         .withColumn(
             "bucket",
-            F.least(
-                F.floor((F.col("l_extendedprice") - F.col("lo")) / w), F.lit(9)
-            ).cast("int"),
+            # the isNotNull guard matters: least() SKIPS NULL args in both
+            # engines, so an unguarded out-of-domain row would land in
+            # bucket 9 instead of the NULL bucket
+            F.when(
+                finite.isNotNull(),
+                F.least(
+                    F.floor((finite - F.col("lo")) / w), F.lit(9)
+                ).cast("int"),
+            ),
         )
         .groupBy("l_returnflag", "bucket", "lo", "hi")
         .agg(F.count("*").alias("n"))

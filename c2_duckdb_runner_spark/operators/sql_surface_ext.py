@@ -91,7 +91,8 @@ def window_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_histogram_bucket",
     oracle="""
-SELECT CASE WHEN l_quantity < 0 THEN 0
+SELECT CASE WHEN isnan(l_quantity) THEN NULL
+            WHEN l_quantity < 0 THEN 0
             WHEN l_quantity >= 50 THEN 11
             ELSE CAST(FLOOR(l_quantity / 5.0) AS BIGINT) + 1 END AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,

@@ -42,10 +42,12 @@ _KEDGES_SQL = """
   SELECT DISTINCT o_custkey AS src, 10000000 + l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   WHERE o_orderkey % 13 = 0
+    AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
   UNION
   SELECT DISTINCT 10000000 + l_suppkey AS src, o_custkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   WHERE o_orderkey % 13 = 0
+    AND o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 """
 
 

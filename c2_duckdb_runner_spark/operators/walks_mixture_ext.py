@@ -49,9 +49,11 @@ _RANKED_SQL = f"""
   FROM (
     SELECT DISTINCT o_custkey AS src, {_OFFSET} + l_suppkey AS dst
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
     UNION
     SELECT DISTINCT {_OFFSET} + l_suppkey AS src, o_custkey AS dst
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
   )
 """
 
@@ -110,6 +112,10 @@ def graph_random_walks_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        # NULL endpoints are not graph nodes (r11 hostile pin)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select("o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp"))
         .distinct()
     )

@@ -182,7 +182,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_window",
     oracle="""
-WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+           WHERE ts IS NOT NULL),
 b AS (
   SELECT user_id, t,
          CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
@@ -647,7 +648,7 @@ SELECT ({_DUCK_MS} // 3600000) * 3600000 AS win_start_ms,
              - COUNT(DISTINCT user_id))
          <= GREATEST(3.0, 0.10 * COUNT(DISTINCT user_id))
        THEN 1 ELSE 0 END AS INT) AS within_rsd
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """,
 )
 def stream_tumbling_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
