@@ -240,6 +240,10 @@ def graph_label_propagation_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        # NULL endpoints are not graph nodes (r11 hostile pin)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select("o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp"))
         .distinct()
     )

@@ -177,6 +177,10 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         nparts = spark.sparkContext.defaultParallelism
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
+        # NULL endpoints are not graph nodes (r11 hostile pin)
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
         .select(
             F.col("o_custkey").alias("c"),
             (F.lit(_OFFSET) + F.col("l_suppkey")).alias("s"),

@@ -37,6 +37,12 @@ def canon_value(v):
         f = float(v)
         if math.isnan(f):
             return "NaN"
+        if f == 0.0:
+            # sign-of-zero is not comparable across engines: Spark's hash
+            # aggregation normalizes -0.0 group keys to +0.0 (SPARK-32110)
+            # while DuckDB reports the stored sign — numerically equal,
+            # repr-distinct; canonize to +0.0
+            return 0.0
         return f
     if isinstance(v, (bool, np.bool_)):
         return bool(v)
