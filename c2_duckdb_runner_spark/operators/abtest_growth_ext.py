@@ -233,9 +233,12 @@ def graph_label_propagation_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements dedup_cluster_cc: CC answers reachability; LPA
     concentrates labels in DENSE regions. Scale shape: each round is
     one keyed join (edges ⋈ labels on dst — the standard message
-    shuffle), one (node, label) count, and a per-node argmax window —
-    all partitioned by node id, |E| rows per round, same cost model as
-    graph_pagerank_iterations."""
+    shuffle) and one (node, label) count; the per-node argmax is a
+    min-of-(−c, label)-struct AGGREGATE (r11 optimization round) — a
+    map-side-combinable partial, so the argmax shuffle carries one
+    partially-folded row per node instead of pushing every (node, label)
+    count through a row_number window's full shuffle + sort (the
+    simsearch_kmeans_assign recipe). Same total tie-break, same rows."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -273,11 +276,10 @@ def graph_label_propagation_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count("*").alias("c"))
         )
-        wn = Window.partitionBy("id").orderBy(F.col("c").desc(), "label")
         labels = (
-            cnt.select("id", "label", F.row_number().over(wn).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .select("id", "label")
+            cnt.groupBy("id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("b"))
+            .select("id", F.col("b.label").alias("label"))
             .localCheckpoint()
         )
     return (

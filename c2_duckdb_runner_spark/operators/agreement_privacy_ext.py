@@ -80,12 +80,19 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     of neighbor colors), reporting the color-count trajectory
     (12 → 27 → 31 at sf0.001) that certifies refinement progress.
 
-    Scale shape: each round is ONE keyed shuffle (edges joined to the
-    current per-node color, grouped by node) — identical cost profile to
-    a PageRank round; the neighbor multiset is per-node bounded state
-    (degree-sized array, sorted then folded into md5), never corpus
-    state. Colors are md5-canonical so the trajectory is engine- and
-    partitioning-independent."""
+    Scale shape (r11 optimization round): the persisted edge relation
+    carries a STANDING dst-hash partitioning (the graph_hits_rounds
+    recipe), so each round's neighbor-color join re-shuffles only the
+    node-cardinality color relation into it — never the edges — and the
+    follow-up groupBy(src) is the round's one edge-sized shuffle. The
+    own-color is attached AFTER that aggregate, to the node-sized
+    multiset relation, instead of riding every edge through the round
+    (before r11 each round shuffled edge-sized data three times: join on
+    src, join on dst, groupBy). shuffle_hash-pinned like HITS so small
+    SFs don't take a broadcast plan that cliffs at 10×. The neighbor
+    multiset is per-node bounded state (degree-sized array, sorted then
+    folded into md5), never corpus state. Colors are md5-canonical so
+    the trajectory is engine- and partitioning-independent."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -93,26 +100,37 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", (F.lit(10000000) + F.col("l_suppkey")).alias("supp"))
         .distinct()
     )
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
     edges = scratch_persist(
-        pairs.select(F.col("o_custkey").alias("src"), F.col("supp").alias("dst")).union(
+        pairs.select(F.col("o_custkey").alias("src"), F.col("supp").alias("dst"))
+        .union(
             pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
         )
+        .repartition(nparts, "dst")
     )
 
     def refine(colors: DataFrame) -> DataFrame:
-        cv = colors.select(F.col("v").alias("src"), F.col("col").alias("own"))
         cn = colors.select(F.col("v").alias("dst"), F.col("col").alias("ncol"))
-        return scratch_persist(
-            edges.join(cv, "src")
-            .join(cn, "dst")
-            .groupBy(F.col("src").alias("v"), "own")
+        nbr = (
+            edges.join(cn.hint("shuffle_hash"), "dst")
+            .groupBy(F.col("src").alias("v"))
             .agg(
                 F.expr(
-                    "substring(md5(concat(own, '|',"
-                    " concat_ws(',', array_sort(collect_list(ncol))))), 1, 8)"
-                ).alias("col")
+                    "concat_ws(',', array_sort(collect_list(ncol)))"
+                ).alias("nbrs")
             )
-            .select("v", "col")
+        )
+        return scratch_persist(
+            nbr.join(colors.hint("shuffle_hash"), "v")
+            .select(
+                "v",
+                F.expr(
+                    "substring(md5(concat(col, '|', nbrs)), 1, 8)"
+                ).alias("col"),
+            )
         )
 
     c0 = scratch_persist(

@@ -23,6 +23,7 @@ from c2_duckdb_runner_spark.operators.dedup import (
     _minhash_sig_table,
 )
 from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.session import scratch_persist
 
 _PC_MIN_PCT = 95  # pairs completeness floor
 _RR_MAX_PCT = 5  # candidates must be <= 5% of the pair universe
@@ -70,12 +71,19 @@ def er_blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited blocking) and Christen's blocking-survey metrics."""
     sig = _minhash_sig_table(spark, sf_dir)
     sample = sig.filter(F.expr(_SAMPLE_PRED))
-    truth = _jaccard_pairs_spark(spark, sf_dir, 0.8, sample_mod=2, shingled=sig)
+    # r11 optimization round: truth feeds both the completeness semi-join
+    # and its own count, cand feeds both the semi-join and the
+    # reduction-ratio count — persist each once instead of replaying the
+    # blocked-Jaccard subtree and the band self-join twice (guide §5:
+    # reused AND expensive).
+    truth = scratch_persist(
+        _jaccard_pairs_spark(spark, sf_dir, 0.8, sample_mod=2, shingled=sig)
+    )
     bands = sample.select(
         "doc_id", F.explode(F.expr(_BAND_KEYS)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    cand = scratch_persist(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 # ---------------------------------------------------------------------------
 # dedup_cdc_chunking
@@ -96,37 +96,43 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling for shift-robust duplicate passage detection. Duplicated
     chunks then fall out of one hash-groupBy.
 
-    Relational formulation (no per-doc arrays): explode char positions
-    (linear in corpus bytes), keep boundary rows, union the start-of-doc
-    anchor, and cut each chunk with LEAD over the per-doc position order
-    — the only window partitions by doc_id. One linear explode, one
-    per-doc window, one hash aggregate; identical md5 arithmetic both
-    engines."""
-    docs = load(spark, sf_dir, "documents").select(
+    Per-doc array formulation (r11 optimization round): boundary
+    positions, chunk starts and the chunks themselves are computed
+    INSIDE each document row with higher-order functions, then exploded
+    straight into the hash aggregate. The old relational form exploded
+    every char position into rows and pushed the boundary rows through a
+    per-doc LEAD window — a shuffle in which EVERY boundary row carried
+    the full document text (~1/{_CDC_MOD} of positions × whole doc =
+    corpus-dominating exchange bytes at scale). Now the text never
+    leaves its scan task: one map pass, one (partially aggregated) hash
+    groupBy, one TakeOrdered. Boundary arithmetic and md5 are
+    char-for-char the expressions the oracle replays."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "text", F.length("text").cast("bigint").alias("L")
     )
-    pos = docs.select(
-        "doc_id",
-        "text",
-        "L",
-        F.explode(
-            F.expr(f"sequence(1L, greatest(L - {_CDC_GRAM - 1}, 1L))")
-        ).alias("i"),
+    hash_i = (
+        f"CAST(conv(substring(md5(substring(text, CAST(i AS INT),"
+        f" {_CDC_GRAM})), 1, 8), 16, 10) AS BIGINT) % {_CDC_MOD}"
     )
-    cuts = pos.filter(F.expr(_cdc_hash("spark")) == 0).select(
-        "doc_id", "text", "L", (F.col("i") + _CDC_GRAM).alias("s")
+    # chunk starts: the doc anchor 1 plus i+GRAM for every boundary
+    # position (ascending by construction: sequence is ascending, filter
+    # preserves order, and every cut is >= GRAM+1 > 1)
+    starts_arr = (
+        f"concat(array(CAST(1 AS BIGINT)),"
+        f" transform(filter(sequence(1L, greatest(L - {_CDC_GRAM - 1}, 1L)),"
+        f"                  i -> {hash_i} = 0),"
+        f"           i -> i + {_CDC_GRAM}))"
     )
-    starts = cuts.unionByName(
-        docs.select("doc_id", "text", "L", F.lit(1).cast("bigint").alias("s"))
+    # chunk k spans [starts[k], next start) — the last runs to L+1,
+    # exactly the COALESCE(LEAD(s), L+1) the window form computed
+    chunks_arr = (
+        f"transform(sequence(0, size(ss) - 1),"
+        f" k -> substring(text, CAST(ss[k] AS INT),"
+        f"      CAST((IF(k + 1 < size(ss), ss[k + 1], L + 1)) - ss[k] AS INT)))"
     )
-    wd = Window.partitionBy("doc_id").orderBy("s")
-    chunks = starts.select(
-        "doc_id",
-        F.expr(
-            "substring(text, CAST(s AS INT),"
-            " CAST(COALESCE(LEAD(s) OVER (PARTITION BY doc_id ORDER BY s), L + 1)"
-            " - s AS INT))"
-        ).alias("chunk"),
+    chunks = (
+        docs.withColumn("ss", F.expr(starts_arr))
+        .select("doc_id", F.explode(F.expr(chunks_arr)).alias("chunk"))
     )
     agg = (
         chunks.filter(F.length("chunk") > 0)

@@ -166,6 +166,7 @@ def _jaccard_pairs_spark(
     md5-parity doc sample both engines agree on. ``shingled`` lets a
     caller that already materialized (doc_id, sh, nsh) — e.g. the minhash
     signature table — feed it in instead of re-scanning the corpus."""
+    standalone = shingled is None
     sh = shingled if shingled is not None else _with_shingles(spark, sf_dir)
     if sample_mod is not None:
         sh = sh.filter(
@@ -183,7 +184,24 @@ def _jaccard_pairs_spark(
             "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"
         ).alias("s"),
     )
-    n = sh.select("doc_id", "nsh")
+    if standalone:
+        # r11 optimization round: without a caller-provided signature
+        # table, DERIVE the per-doc shingle count from the exploded
+        # relation (shingles are array_distinct per doc, so COUNT(*) per
+        # doc_id == nsh; zero-shingle docs can never appear in a pair, so
+        # dropping them from n is invisible). The join's two identical
+        # a/b subtrees already collapse to one compute via Spark's
+        # exchange reuse; deriving n makes the count side reuse the SAME
+        # shingle+md5 map instead of two more corpus scans (na/nb).
+        # Persisting `exploded` instead was measured SLOWER (cache
+        # write + per-occurrence cached-plan matching beat the saved
+        # recompute: dedup_simhash 7.9 s → 9.8 s persisted, → ~6.5 s
+        # derived-n; recompute-with-reuse is the keeper).
+        n = exploded.groupBy("doc_id").agg(
+            F.count("*").cast("int").alias("nsh")
+        )
+    else:
+        n = sh.select("doc_id", "nsh")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -239,13 +257,18 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak on equal sizes) keeps each unordered pair single-emitted.
     """
     sh = _with_shingles(spark, sf_dir)
+    # r11 optimization round: same derived-n shape as _jaccard_pairs_spark
+    # (see its comment) — the self-join sides collapse via exchange
+    # reuse, and n reuses the same shingle+md5 map instead of two more
+    # corpus scans (array_distinct per doc ⇒ COUNT(*) == nsh;
+    # zero-shingle docs never pair, so their absence from n is invisible).
     exploded = sh.select("doc_id", F.explode("sh").alias("s0")).select(
         "doc_id",
         F.expr(
             "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"
         ).alias("s"),
     )
-    n = sh.select("doc_id", "nsh")
+    n = exploded.groupBy("doc_id").agg(F.count("*").cast("int").alias("nsh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -627,6 +650,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_verdict(truth, found, 90)
 
 
+# salt width for the cell-blocked cosine pair join (guide §2.5): spreads
+# each cell's pair workload over this many tasks; any unordered pair still
+# meets exactly once (the b side owns one salt, the a side explodes all)
+_COS_SALT = 8
+
 _COS_ORACLE = """
 WITH e AS (
   SELECT vec_id, label,
@@ -656,6 +684,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB ANN dedup blocks by centroid instead of cross-joining the corpus.
     Both engines fold the dot product strictly left-to-right over the same
     doubles, then round to 6 dp before filtering, so the hash is stable.
+
+    r11 optimization round: the cell key is SALTED (guide §2.5) — the
+    cell count is tiny (10 here; IVF lists in production), so an unsalted
+    equi-join parks every cell's whole pair workload on one task and the
+    interpreted per-pair dot-product fold runs near-serially. The b side
+    gets a deterministic pmod(xxhash64(vec_id), _COS_SALT) salt, the a
+    side explodes all _COS_SALT salts; each unordered pair still meets
+    exactly once, the pair compute spreads over cells × _COS_SALT tasks.
     """
     e = (
         load(spark, sf_dir, "embeddings")
@@ -669,18 +705,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "v", "nrm")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    a = e.withColumn(
+        "salt", F.explode(F.expr(f"sequence(0L, {_COS_SALT - 1}L)"))
+    ).alias("a")
+    b = e.withColumn(
+        "salt", F.expr(f"pmod(xxhash64(vec_id), {_COS_SALT})")
+    ).alias("b")
+    # dot product stays the aggregate(zip_with(...)) fold: flattening it
+    # into a 64-term nested-add chain was MEASURED 3× slower both ways
+    # (indexing the derived v inlines its transform per access; indexing
+    # the raw floats blows the generated method past the codegen limit
+    # and drops the whole stage to interpreted execution) — the HOF fold
+    # over unsafe arrays is the fastest formulation available here.
+    dot = (
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+    )
     cos_r = F.round(
-        F.expr(
-            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
-            "CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
-        )
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 from c2_duckdb_runner_spark.tables import load
 
 _OFFSET = 10_000_000
@@ -112,7 +112,7 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = scratch_persist(_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_deg = scratch_persist(
-        edges.join(deg, "src").repartition(32, "src")
+        edges.join(deg, "src").repartition(shuffle_width(spark), "src")
     )
     # Node spine: src ∪ dst — but the graph is SYMMETRIZED, so src set ==
     # dst set == node set, and every node receives at least one
@@ -240,7 +240,9 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = scratch_persist(edges.join(deg, "src").repartition(32, "src"))
+    edges_deg = scratch_persist(
+        edges.join(deg, "src").repartition(shuffle_width(spark), "src")
+    )
     nodes = scratch_persist(
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -496,13 +498,20 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     their EXACT BFS level (integer arithmetic, so the unrolled DuckDB CTE
     chain replays it bit-for-bit).
 
-    Scale shape: one edges⨝distances shuffle + one min-group per round,
-    both keyed; distances localCheckpoint each round (flat lineage, same
-    discipline as PageRank). A production frontier variant would join only
-    NEWLY-settled nodes against edges (delta propagation) — the full
-    min-fold is kept here because it is what the oracle can replay exactly
-    and the per-round cost model is identical, just un-truncated."""
-    edges = scratch_persist(_edges(spark, sf_dir))
+    Scale shape: the persisted edge relation carries a STANDING src-hash
+    partitioning (r11 optimization round — the graph_hits_rounds recipe:
+    before, the relax join re-shuffled the edge list EVERY round); per
+    round only the node-sized distance relation shuffles into it
+    (shuffle_hash-pinned against the small-SF broadcast plan that cliffs
+    at 10×), plus one min-group — both keyed; distances localCheckpoint
+    each round (flat lineage, same discipline as PageRank). A production
+    frontier variant would join only NEWLY-settled nodes against edges
+    (delta propagation) — the full min-fold is kept here because it is
+    what the oracle can replay exactly and the per-round cost model is
+    identical, just un-truncated."""
+    edges = scratch_persist(
+        _edges(spark, sf_dir).repartition(shuffle_width(spark), "src")
+    )
     dist = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 100 == 0)
@@ -512,7 +521,7 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_BFS_ROUNDS):
         relaxed = edges.join(
-            dist, edges.src == dist.node
+            dist.hint("shuffle_hash"), edges.src == dist.node
         ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         dist = (
             dist.unionByName(relaxed)

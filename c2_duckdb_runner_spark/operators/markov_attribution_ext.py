@@ -143,7 +143,27 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-keyed window pass + one transition count); after that the
     state space is k+2 rows per run, so each iteration is a broadcast
     join over ≤ 30 rows. This is the production shape of data-driven
-    attribution: the chain is tiny, the event log is not."""
+    attribution: the chain is tiny, the event log is not.
+
+    r11 optimization round: the hop relation (post-window, pre-
+    aggregation) carries rn and feeds TWO tiny eagerly
+    localCheckpoint-ed aggregates — the transition counts and the
+    journey-start counts, both ≤ (k+2)² rows; the
+    checkpoint truncates their lineage, so the 8-round unrolled loop
+    plans over two ~30-row leaves instead of re-embedding the full
+    two-window journey subtree at every round (the pre-r11 plan was
+    400 Exchange nodes / 400 KB of formatted plan — Catalyst planning
+    dominated the wall, and the measured alternative of persisting hops
+    alone made it WORSE, 6.5 s → 16.8 s, because the unrolled plan still
+    re-embedded the cached subtree everywhere). Each checkpoint pays one
+    parallel journey pass (persisting hops to share a single pass was
+    ALSO measured slower than just recomputing — cache write + cached-
+    plan matching cost more than the 1 s pass); the loop then runs over
+    two ~30-row LogicalRDD leaves — per round one broadcast join and one
+    tiny aggregate. Measured 6.5 s → ~3.9 s at sf0.1."""
+    # plain load (measured): the journey windows bring their own
+    # user_id exchange, so the pass is already parallel — a load_spread
+    # repartition here just pays a redundant shuffle (2.2–5.9 s vs 1.1 s)
     ev = load(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
     ordered = ev.select(
@@ -166,7 +186,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
     )
     hops = journey.select(
-        "state",
+        "rn",
         F.coalesce(
             F.lead("state").over(wu.orderBy("rn")),
             F.when(F.col("state") == "CONV", F.lit(None)).otherwise("NULL"),
@@ -178,22 +198,33 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cur", "nxt")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    p = tcnt.select(
-        "cur",
-        "nxt",
-        F.expr(
-            "(1000000 * c) div CAST(SUM(c) OVER (PARTITION BY cur) AS BIGINT)"
-        ).alias("pm"),
-    ).unionByName(
-        spark.createDataFrame(
-            [("CONV", "CONV", 1000000), ("NULL", "NULL", 1000000)],
-            "cur string, nxt string, pm long",
+    p = (
+        tcnt.select(
+            "cur",
+            "nxt",
+            F.expr(
+                "(1000000 * c) div CAST(SUM(c) OVER (PARTITION BY cur)"
+                " AS BIGINT)"
+            ).alias("pm"),
         )
+        .unionByName(
+            spark.createDataFrame(
+                [("CONV", "CONV", 1000000), ("NULL", "NULL", 1000000)],
+                "cur string, nxt string, pm long",
+            )
+        )
+        .localCheckpoint(eager=True)  # ~30-row leaf for the 8-round loop
+        # (natural partitioning: coalesce(1) collapses the upstream
+        # corpus stage into one task — measured 5.8 s vs 0.9 s — and
+        # repartition(1) pays an extra stage; both measured worse)
     )
+    # journey starts from the SAME persisted hop relation (cur = the
+    # journey row's own state; rn rode along for exactly this)
     starts = (
-        journey.filter(F.col("rn") == 1)
-        .groupBy("state")
+        hops.filter(F.col("rn") == 1)
+        .groupBy(F.col("cur").alias("state"))
         .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # ≤ k+2 rows
     )
     tot = starts.agg(F.sum("c").cast("bigint").alias("tc"))
     runs = spark.createDataFrame(

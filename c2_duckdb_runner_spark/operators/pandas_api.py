@@ -66,12 +66,32 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (searchsorted over the sorted purchase times — O(n log n) per user,
     integer-exact). Keys present on either side are emitted, matching the
     oracle's FULL JOIN. The pattern stands in for per-entity
-    reconciliation logic that genuinely needs imperative code."""
+    reconciliation logic that genuinely needs imperative code.
+
+    r11 optimization round: both inputs are EXPLICITLY hash-repartitioned
+    on user_id at the session shuffle width. Without it, AQE coalesces
+    the cogroup's tiny-by-bytes exchange to ONE partition and every
+    group's pandas call runs through a single Python worker (measured
+    par < 1.1 in the r11 baseline) — AQE sizes by shuffle bytes and
+    cannot see per-group Python cost (guide §4). An explicit width is
+    respected by AQE, so the Python stage keeps the cluster busy at any
+    scale."""
+    from c2_duckdb_runner_spark.session import shuffle_width
+
+    w = shuffle_width(spark)
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_millis("ts").alias("ms")
     )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ms")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ms")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ms")
+        .repartition(w, "user_id")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ms")
+        .repartition(w, "user_id")
+    )
 
     def pair_counts(key: tuple, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -142,17 +162,32 @@ def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probes broadcast; each edge costs one pass over its child table —
     the audit is scan-bound and embarrassingly parallel across edges. The
     all-zeros orphan column IS the assertion a lakehouse ingest gate
-    checks before publishing a snapshot."""
+    checks before publishing a snapshot.
+
+    r11 optimization round: each edge now computes BOTH counts in one
+    broadcast LEFT join pass (total rows + rows whose probe missed,
+    the oracle's COUNT FILTER shape) instead of an anti-join count plus
+    a separate full-scan count — one scan per child table per edge
+    instead of two (lineitem: 3 scans instead of 6)."""
     out: DataFrame | None = None
     for edge, child, ck, parent, pk in _FK_EDGES:
         c = load(spark, sf_dir, child)
-        p = load(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
-        orphans = (
-            c.join(F.broadcast(p), c[ck] == p["__pk"], "left_anti")
-            .agg(F.count("*").alias("n_orphans"))
+        # DISTINCT parent keys: keeps the LEFT join at-most-one-match, so
+        # n_child_rows cannot inflate even if a (hostile) parent fixture
+        # carries duplicate keys — same semantics as the old anti-join.
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__pk"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
         )
-        row = c.agg(F.count("*").alias("n_child_rows")).crossJoin(orphans).select(
-            F.lit(edge).alias("fk_edge"), "n_child_rows", "n_orphans"
+        row = (
+            c.join(F.broadcast(p), c[ck] == p["__pk"], "left")
+            .agg(
+                F.count("*").alias("n_child_rows"),
+                F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_orphans"),
+            )
+            .select(F.lit(edge).alias("fk_edge"), "n_child_rows", "n_orphans")
         )
         out = row if out is None else out.unionByName(row)
     assert out is not None

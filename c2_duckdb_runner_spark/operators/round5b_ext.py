@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.operators.graph import _EDGES_SQL, _OFFSET, _edges
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 from c2_duckdb_runner_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -114,7 +114,7 @@ def graph_ppr_seed_teleport(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges_deg = scratch_persist(
         _edges(spark, sf_dir)
-        .repartition(32, "src")
+        .repartition(shuffle_width(spark), "src")
         .withColumn("outdeg", F.count("*").over(Window.partitionBy("src")))
     )
     seed_case = (

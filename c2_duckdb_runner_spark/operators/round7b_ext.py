@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import fdoc, register
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 _D38 = "DECIMAL(38,0)"
 
@@ -440,12 +441,20 @@ FROM arr
     production drift-monitor shape. Counts stay exact integers all the
     way to the fold.
 
-    Scale shape: trigram explode (map-only) -> pre-cut top-{_JSD_TOP}
-    (TakeOrdered over the trigram aggregate) broadcast back -> bucketed
-    (source x bucket) aggregate (bounded cells) -> per-source fold.""")
+    Scale shape (r11 optimization round): ONE trigram explode (spread
+    across cores at fixture scale) -> ONE (source x trigram) hash
+    aggregate, persisted — the trigram vocabulary saturates (charset-
+    bounded: 377/890/2169 across the 100x ladder), so this relation is
+    tiny and every downstream step (top-{_JSD_TOP} cut, bucketing,
+    per-source cells) runs over counts, never over the raw trigram
+    stream. Before r11 the explode ran TWICE (once for the top cut, once
+    for bucketing) and the full trigram stream crossed the bucket join +
+    (source x bucket) aggregate; now the corpus is scanned once and the
+    only corpus-sized shuffle is the partial-aggregated (source, g)
+    count (guide §2.3 "aggregate before you shuffle").""")
 def corpus_jsd_trigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .filter("length(text) >= 3")
         .select(
             "source",
@@ -457,21 +466,30 @@ def corpus_jsd_trigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # (source, trigram) counts: the one corpus-sized pass. Persisted —
+    # the top-cut and the bucketed aggregate both read it; vocabulary is
+    # charset-bounded so the relation stays tiny at any corpus size.
+    tric = scratch_persist(
+        tri.groupBy("source", "g").agg(F.count("*").cast("bigint").alias("c"))
+    )
     top = (
-        tri.groupBy("g")
-        .agg(F.count("*").alias("c"))
+        tric.groupBy("g")
+        .agg(F.sum("c").alias("c"))
         .orderBy(F.desc("c"), F.asc("g"))
         .limit(_JSD_TOP)
         .select("g")
     )
-    b = tri.join(F.broadcast(top.withColumn("hit", F.lit(1))), "g", "left").select(
+    b = tric.join(
+        F.broadcast(top.withColumn("hit", F.lit(1))), "g", "left"
+    ).select(
         "source",
         F.expr("CASE WHEN hit IS NOT NULL THEN g ELSE '<OTHER>' END").alias(
             "bucket"
         ),
+        "c",
     )
     ps = b.groupBy("source", "bucket").agg(
-        F.count("*").cast("bigint").alias("np")
+        F.sum("c").cast("bigint").alias("np")
     )
     qs = ps.groupBy("bucket").agg(F.sum("np").cast("bigint").alias("nq"))
     totp = ps.groupBy("source").agg(F.sum("np").cast("bigint").alias("tp"))

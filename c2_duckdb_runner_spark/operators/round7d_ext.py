@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import fdoc, register
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 # ---------------------------------------------------------------------------
 # alloc_sainte_lague
@@ -487,14 +487,16 @@ FROM r, tot, ks GROUP BY k
     says where the tail starts costing UNK/bytes-fallback). Exact ppm
     from the trigram histogram.
 
-    Scale shape: trigram explode (map-only) -> histogram aggregate ->
-    ranking window over the VOCAB-sized aggregate (char-trigram vocab is
-    charset-bounded, not corpus-bounded) -> one bounded reduce per k.""")
+    Scale shape: trigram explode (map-only, spread across cores at
+    single-row-group fixture scale — r11 optimization round) ->
+    histogram aggregate -> ranking window over the VOCAB-sized aggregate
+    (char-trigram vocab is charset-bounded, not corpus-bounded) -> one
+    bounded reduce per k.""")
 def corpus_ngram_coverage_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     tri = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .filter("length(text) >= 3")
         .select(
             F.explode(

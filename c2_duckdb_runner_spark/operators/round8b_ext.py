@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import fdoc, register
 from c2_duckdb_runner_spark.session import scratch_persist
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 # ---------------------------------------------------------------------------
 # stream_topk_per_window
@@ -147,43 +147,56 @@ ORDER BY entropy_nats ASC, doc_id ASC LIMIT {_ENT_TOP}
     (bounded by the doc, the corpus_jsd_trigram_drift determinism
     recipe), ROUND 6, total (entropy, doc_id) tiebreak.
 
-    Scale shape: bigram explode (map-only) → one (doc, bigram) hash
-    aggregate → per-doc collect bounded by document length → TakeOrdered
-    k-row output. No corpus-wide state beyond the aggregate.""")
+    Scale shape (r11 optimization round): MAP-ONLY — each document's
+    bigram histogram never leaves the row. The bigrams are sorted
+    in-place (array_sort), run-length folded into the same
+    -(c/t)·ln(c/t) terms in the same ascending-bigram order the old
+    collect_list path produced (bit-identical doubles: one add per
+    bigram run starting from 0.0), and only the {_ENT_TOP}-row
+    TakeOrdered leaves the executors. Before r11 this was explode →
+    (doc, bigram) aggregate → per-doc collect_list — two corpus-sized
+    exchanges; now there are ZERO exchanges (one narrow spread
+    repartition at single-row-group fixture scale only). Per-doc state
+    is bounded by document length exactly as before.""")
 def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = (
-        load(spark, sf_dir, "documents")
+    term_of = (
+        "-(CAST({c} AS DOUBLE) / CAST(n_bigrams AS DOUBLE))"
+        " * ln(CAST({c} AS DOUBLE) / CAST(n_bigrams AS DOUBLE))"
+    )
+    # run-length fold over the doc's SORTED bigram array: state carries
+    # (current run value, run length, accumulated entropy); each run
+    # flushes its term when the next run starts, the finish lambda
+    # flushes the last — addition order = ascending bigram, identical to
+    # the old sorted-collect fold.
+    fold = (
+        "aggregate("
+        "  array_sort(transform(sequence(1, length(text) - 1),"
+        "                       i -> substring(text, i, 2))),"
+        "  named_struct('prev', CAST(NULL AS STRING),"
+        "               'cnt', CAST(0 AS BIGINT),"
+        "               'acc', CAST(0.0 AS DOUBLE)),"
+        "  (s, x) -> CASE"
+        "    WHEN s.prev IS NULL THEN"
+        "      named_struct('prev', x, 'cnt', CAST(1 AS BIGINT), 'acc', s.acc)"
+        "    WHEN x = s.prev THEN"
+        "      named_struct('prev', s.prev, 'cnt', s.cnt + CAST(1 AS BIGINT),"
+        "                   'acc', s.acc)"
+        "    ELSE named_struct('prev', x, 'cnt', CAST(1 AS BIGINT),"
+        f"                     'acc', s.acc + {term_of.format(c='s.cnt')}) END,"
+        f"  s -> s.acc + {term_of.format(c='s.cnt')})"
+    )
+    return (
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .filter("length(text) >= 2")
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text) - 1),"
-                    " i -> substring(text, i, 2))"
-                )
-            ).alias("bg"),
+            (F.length("text") - 1).cast("bigint").alias("n_bigrams"),
+            "text",
         )
-    )
-    cnt = g.groupBy("doc_id", "bg").agg(F.count("*").cast("bigint").alias("c"))
-    arr = cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("t"),
-        F.expr("array_sort(collect_list(struct(bg, c)))").alias("xs"),
-    )
-    term = (
-        "-(CAST(c.c AS DOUBLE) / CAST(t AS DOUBLE))"
-        " * ln(CAST(c.c AS DOUBLE) / CAST(t AS DOUBLE))"
-    )
-    return (
-        arr.select(
+        .select(
             "doc_id",
-            F.col("t").alias("n_bigrams"),
-            F.round(
-                F.expr(
-                    f"aggregate(transform(xs, c -> {term}),"
-                    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-                ),
-                6,
-            ).alias("entropy_nats"),
+            "n_bigrams",
+            F.round(F.expr(fold), 6).alias("entropy_nats"),
         )
         .orderBy(F.asc("entropy_nats"), F.asc("doc_id"))
         .limit(_ENT_TOP)

@@ -51,7 +51,7 @@ from c2_duckdb_runner_spark.operators.dedup import (
 )
 from c2_duckdb_runner_spark.registry import register
 from c2_duckdb_runner_spark.session import scratch_persist
-from c2_duckdb_runner_spark.tables import load
+from c2_duckdb_runner_spark.tables import load, load_spread
 
 
 # ---------------------------------------------------------------------------
@@ -660,8 +660,13 @@ def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and to DuckDB at every sf, at half the cost), every matvec and the
     final L2 norm are
     index-ordered left-to-right folds — no unordered float SUM anywhere,
-    so both engines produce bit-identical doubles."""
-    e = load(spark, sf_dir, "embeddings")
+    so both engines produce bit-identical doubles.
+
+    r11 optimization round: the corpus scan is load_spread — the d(d+1)/2
+    per-vector explode is the expensive map here, and the single-row-group
+    fixture file would otherwise run it on one core (no-op at production
+    file counts)."""
+    e = load_spread(spark, sf_dir, "embeddings", "vec_id")
     pairs = e.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "i0", "xi"

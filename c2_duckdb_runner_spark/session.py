@@ -55,6 +55,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's configured shuffle width — the scale-adaptive value
+    operators use when they pin a standing hash partitioning (persisted
+    edge relations etc.). Never hard-code a partition count: the same
+    code must size itself from the session on a 32-core box and a
+    1000-executor cluster alike."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 # --- scratch persist tracking ------------------------------------------
 # Operators persist() intermediate tables that several downstream branches
 # of the SAME query reuse (minhash signatures, graph edge relations, …).
