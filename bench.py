@@ -292,15 +292,16 @@ _SENTINELS = {
 # {sentinel: sec}); drift_factor is emitted only when the run's sf has a
 # recorded baseline. These values are measurement constants — update them
 # only from a deliberately quiet A/A run, never from a driver run.
-# Recorded 2026-08-17 (r11 optimization round), idle box, local[32]
-# (BENCH_opt_r11_baseline.json). NOTE the absolute level: r10-era runs of
-# identical code were ~1.5-2x faster, so drift_factor > 1 against THIS
-# baseline means slower-than-r11-recording, not slower-than-best-ever.
+# Recorded 2026-08-17 (r11 optimization round) in the QUIETEST window the
+# box showed all day, local[32]. The same day's round-start run measured
+# 1.132/1.282/1.755 — the box drifts >2x within hours, which is the whole
+# reason these sentinels exist; a drift_factor near 2 means "the r11
+# round-start conditions", near 1 means "quiet box".
 _SENTINEL_BASELINE: dict[float, dict[str, float]] = {
     0.1: {
-        "aa_scan_agg": 1.132,
-        "aa_shuffle_group": 1.282,
-        "aa_global_sort": 1.755,
+        "aa_scan_agg": 0.509,
+        "aa_shuffle_group": 0.627,
+        "aa_global_sort": 0.799,
     },
 }
 
