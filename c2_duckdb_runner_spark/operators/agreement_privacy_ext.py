@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 from c2_duckdb_runner_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -100,10 +100,7 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", (F.lit(10000000) + F.col("l_suppkey")).alias("supp"))
         .distinct()
     )
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = spark.sparkContext.defaultParallelism
+    nparts = shuffle_width(spark)
     edges = scratch_persist(
         pairs.select(F.col("o_custkey").alias("src"), F.col("supp").alias("dst"))
         .union(

@@ -39,11 +39,13 @@ _CDC_TOP = 20
 
 
 def _cdc_hash(engine: str) -> str:
-    g = (
-        f"substring(text, i, {_CDC_GRAM})"
-        if engine == "spark"
-        else f"substring(text, CAST(i AS INT), {_CDC_GRAM})"
-    )
+    # ONE shared g fragment: the boundary hash must stay char-parity
+    # across engines, and the Spark form must be valid inside a
+    # higher-order-function lambda (where i is BIGINT — hence the CAST,
+    # legal and identical in both engines). The Spark branch IS the
+    # expression dedup_cdc_chunking folds per row; edit both branches
+    # together or the cross-engine differential breaks.
+    g = f"substring(text, CAST(i AS INT), {_CDC_GRAM})"
     return (
         f"CAST(conv(substring(md5({g}), 1, 8), 16, 10) AS BIGINT) % {_CDC_MOD}"
         if engine == "spark"
@@ -110,10 +112,7 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "text", F.length("text").cast("bigint").alias("L")
     )
-    hash_i = (
-        f"CAST(conv(substring(md5(substring(text, CAST(i AS INT),"
-        f" {_CDC_GRAM})), 1, 8), 16, 10) AS BIGINT) % {_CDC_MOD}"
-    )
+    hash_i = _cdc_hash("spark")
     # chunk starts: the doc anchor 1 plus i+GRAM for every boundary
     # position (ascending by construction: sequence is ascending, filter
     # preserves order, and every cut is >= GRAM+1 > 1)

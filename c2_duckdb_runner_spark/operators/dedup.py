@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 from c2_duckdb_runner_spark.tables import load, load_spread
 
 # 4-token shingles; DuckDB twin is toks[i:i+3] (1-indexed inclusive slice).
@@ -47,14 +47,50 @@ _SHINGLES_DUCK = (
 )
 
 
-def _with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _with_shingles(
+    spark: SparkSession, sf_dir: str, positive_only: bool = False
+) -> DataFrame:
     # load_spread: shingling + hashing is the expensive map here, and the
     # single-row-group fixture files would otherwise pin it to one core.
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    if positive_only:
+        # nsh > 0 ⟺ size(toks) >= 4, so the shingle-bearing-docs filter
+        # can run on the CHEAP token count BEFORE the shingle project. A
+        # post-hoc `.filter(nsh > 0)` instead gets pushed below the
+        # project BY SUBSTITUTION and re-evaluates the entire shingle
+        # transform once more per row (the r12 InferFiltersFromGenerate
+        # finding — same substitution mechanism, manual trigger).
+        docs = docs.filter(F.size(F.split("text", " ")) >= 4)
     return (
-        load_spread(spark, sf_dir, "documents", "doc_id")
+        docs
         .withColumn("toks", F.split("text", " "))
         .withColumn("sh", F.expr(_SHINGLES))
         .select("doc_id", "sh", F.size("sh").alias("nsh"))
+    )
+
+
+def _exploded_shingles(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    """(doc_id, s0) raw-shingle stream in the ONE plan shape that dodges
+    a measured 3× pathology (r12): exploding a PROJECTED array column
+    lets InferFiltersFromGenerate add `size(sh) > 0 AND isnotnull(sh)`,
+    and predicate pushdown then substitutes the whole shingle transform
+    into that filter below the exchange — the most expensive map in the
+    dedup family ran ~3× per row (measured 5.1 s → 1.4 s on the
+    standalone pair subtree at sf0.1). With the complex expression AS
+    the generator input the rule's isCheap guard skips it, while `toks`
+    stays a projected column so split() still runs once per row."""
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    if sample_mod is not None:
+        docs = docs.filter(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+                f"16, 10) AS BIGINT) % {sample_mod} = 0"
+            )
+        )
+    return docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id", F.explode(F.expr(_SHINGLES)).alias("s0")
     )
 
 
@@ -167,18 +203,22 @@ def _jaccard_pairs_spark(
     caller that already materialized (doc_id, sh, nsh) — e.g. the minhash
     signature table — feed it in instead of re-scanning the corpus."""
     standalone = shingled is None
-    sh = shingled if shingled is not None else _with_shingles(spark, sf_dir)
-    if sample_mod is not None:
-        sh = sh.filter(
-            F.expr(
-                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
-                f"16, 10) AS BIGINT) % {sample_mod} = 0"
+    if standalone:
+        # r12: the raw-shingle stream comes from _exploded_shingles — the
+        # generator-input form that keeps InferFiltersFromGenerate from
+        # tripling the shingle map (see its docstring).
+        raw = _exploded_shingles(spark, sf_dir, sample_mod)
+    else:
+        sh = shingled
+        if sample_mod is not None:
+            sh = sh.filter(
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+                    f"16, 10) AS BIGINT) % {sample_mod} = 0"
+                )
             )
-        )
-    exploded = sh.select(
-        "doc_id",
-        F.explode("sh").alias("s0"),
-    ).select(
+        raw = sh.select("doc_id", F.explode("sh").alias("s0"))
+    exploded = raw.select(
         "doc_id",
         F.expr(
             "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"
@@ -256,13 +296,13 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints); the direction rule (strictly fewer shingles, doc_id
     tiebreak on equal sizes) keeps each unordered pair single-emitted.
     """
-    sh = _with_shingles(spark, sf_dir)
     # r11 optimization round: same derived-n shape as _jaccard_pairs_spark
     # (see its comment) — the self-join sides collapse via exchange
     # reuse, and n reuses the same shingle+md5 map instead of two more
     # corpus scans (array_distinct per doc ⇒ COUNT(*) == nsh;
     # zero-shingle docs never pair, so their absence from n is invisible).
-    exploded = sh.select("doc_id", F.explode("sh").alias("s0")).select(
+    # r12: raw stream via _exploded_shingles (inferred-filter dodge).
+    exploded = _exploded_shingles(spark, sf_dir).select(
         "doc_id",
         F.expr(
             "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"
@@ -436,8 +476,7 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a table before the LSH join. Without this the plan scans & re-signs
     the corpus once per branch."""
     return scratch_persist(
-        _with_shingles(spark, sf_dir)
-        .filter(F.col("nsh") > 0)
+        _with_shingles(spark, sf_dir, positive_only=True)
         .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
         .withColumn("sig", F.expr(_MINHASH_SIG))
         .select("doc_id", "sh", "nsh", "sig")
@@ -593,8 +632,7 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries no quadratic path.
     """
     return scratch_persist(
-        _with_shingles(spark, sf_dir)
-        .filter(F.col("nsh") > 0)
+        _with_shingles(spark, sf_dir, positive_only=True)
         .withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
         .withColumn("simhash", F.expr(_SIMHASH))
         .select("doc_id", "simhash")
@@ -650,10 +688,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_verdict(truth, found, 90)
 
 
-# salt width for the cell-blocked cosine pair join (guide §2.5): spreads
-# each cell's pair workload over this many tasks; any unordered pair still
-# meets exactly once (the b side owns one salt, the a side explodes all)
+# salt width CAP for the cell-blocked cosine pair join (guide §2.5): the
+# actual width derives from the data — ceil(2·shuffle_width / n_cells),
+# clamped to [1, _COS_SALT] — so cells×salt lands near 2× the shuffle
+# width: enough buckets to fill every core, no gratuitous explode once
+# the cell count itself covers the cluster (at production cell counts
+# the derived salt is 1 and the explode vanishes). Any unordered pair
+# still meets exactly once (the b side owns one salt, the a side
+# explodes all).
 _COS_SALT = 8
+
+
+def _cos_salt_width(spark: SparkSession, n_cells: int) -> int:
+    width = shuffle_width(spark)
+    return max(1, min(_COS_SALT, -(-2 * width // max(1, n_cells))))
 
 _COS_ORACLE = """
 WITH e AS (
@@ -689,9 +737,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell count is tiny (10 here; IVF lists in production), so an unsalted
     equi-join parks every cell's whole pair workload on one task and the
     interpreted per-pair dot-product fold runs near-serially. The b side
-    gets a deterministic pmod(xxhash64(vec_id), _COS_SALT) salt, the a
-    side explodes all _COS_SALT salts; each unordered pair still meets
-    exactly once, the pair compute spreads over cells × _COS_SALT tasks.
+    gets a deterministic pmod(xxhash64(vec_id), salt) salt, the a side
+    explodes all salts; each unordered pair still meets exactly once.
+
+    r12 optimization round, two fixes to make the salt actually work:
+    (1) the r11 plan BROADCAST the 8×-exploded a side (BuildLeft BHJ) —
+    a hash join's parallelism comes from its STREAMED side, so the salt
+    bought nothing and the broadcast octupled; the join is now pinned
+    shuffle_hash with the un-exploded b side as build, so the pair
+    compute genuinely spreads over cells × salt exchange buckets (and
+    the corpus-sized broadcast cliff is gone). (2) the salt width
+    derives from the measured cell count instead of a constant — see
+    _cos_salt_width; at fixture scale (10 cells, 32 cores) it lands at
+    7, on a wide cluster over a real IVF cell count it collapses to 1
+    and the a-side explode disappears entirely.
     """
     e = (
         load(spark, sf_dir, "embeddings")
@@ -705,11 +764,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", "v", "nrm")
     )
+    # cell count: a label-only pruned scan — the one cheap job that lets
+    # the salt size itself from the data instead of a local[32] constant
+    n_cells = (
+        load(spark, sf_dir, "embeddings").select("label").distinct().count()
+    )
+    salt = _cos_salt_width(spark, n_cells)
     a = e.withColumn(
-        "salt", F.explode(F.expr(f"sequence(0L, {_COS_SALT - 1}L)"))
+        "salt", F.explode(F.expr(f"sequence(0L, {salt - 1}L)"))
     ).alias("a")
     b = e.withColumn(
-        "salt", F.expr(f"pmod(xxhash64(vec_id), {_COS_SALT})")
+        "salt", F.expr(f"pmod(xxhash64(vec_id), {salt})")
     ).alias("b")
     # dot product stays the aggregate(zip_with(...)) fold: flattening it
     # into a 64-term nested-add chain was MEASURED 3× slower both ways
@@ -727,7 +792,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),

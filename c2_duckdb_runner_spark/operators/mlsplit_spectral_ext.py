@@ -129,12 +129,21 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Selection is exact: candidates order by id, the md5 coin mod the
     walk's total weight falls into exactly one cumulative-weight range.
 
-    Scale shape: each hop is (1) one keyed join frontier→neighbors, (2)
-    one LEFT JOIN against the edge list to test prev-adjacency (a keyed
-    equi-join — never an all-pairs), (3) a per-walk window for the
-    cumulative ranges. Frontier stays one row per walker after every
-    hop's range filter, so cost per hop is O(Σ outdeg(cur)) — the same
-    as any neighbor expansion — at any number of walkers."""
+    Scale shape (r12 restructure): each hop is (1) one keyed join
+    frontier→neighbors, (2) the prev-adjacency test against a persisted
+    per-node ADJACENCY-ARRAY relation (node-sized rows with
+    degree-bounded arrays; before r12 this was a per-hop join against
+    the full edge list on the composite (prev, cand) key, which
+    re-shuffled and re-sorted edge-sized data every hop), (3) a per-walk
+    window for the cumulative ranges. The frontier is ≤ the seed count
+    by construction, so it is localCheckpoint-ed per hop (tiny RDD, flat
+    lineage) and explicitly broadcast into both joins — the edge/adj
+    relations are never shuffled or sorted inside the loop. The
+    first-hop neighbor-ranking window runs over the SEED nodes' edges
+    only (row_number partitioned by src is invariant under the src
+    filter), not the whole edge list. Frontier stays one row per walker
+    after every hop's range filter, so cost per hop is O(Σ outdeg(cur))
+    — the same as any neighbor expansion — at any number of walkers."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -159,15 +168,26 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(F.col("src"))
     )
+    # Per-node adjacency arrays: ONE groupBy over the persisted edges,
+    # consumed by every hop's prev-adjacency membership test. The arrays
+    # are degree-bounded per row (never corpus state), same argument as
+    # graph_wl_refinement's neighbor multisets.
+    adj = scratch_persist(
+        edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    )
+    # The first hop only needs the SEED nodes' neighbor ranking;
+    # row_number/count partitioned by src commute with the src filter,
+    # so the window runs over a seed-count-bounded slice, not all |E|.
+    seed_edges = edges.filter(F.col("src") <= _N2V_SEEDS)
     wsrc = Window.partitionBy("src")
-    ranked = edges.select(
+    ranked = seed_edges.select(
         "src",
         "dst",
         (F.row_number().over(wsrc.orderBy("dst")) - 1).alias("idx"),
         F.count("*").over(wsrc).alias("outdeg"),
     )
     seeds = (
-        edges.filter(F.col("src") <= _N2V_SEEDS)
+        seed_edges
         .select(F.col("src").alias("walk_id"))
         .distinct()
         .withColumn("cur", F.col("walk_id"))
@@ -185,16 +205,23 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").cast("string"),
             ).alias("path"),
         )
+        .localCheckpoint(eager=True)  # frontier: ≤ seed-count rows
     )
-    chk = edges.select(F.col("src").alias("psrc"), F.col("dst").alias("pdst"))
     for t in range(2, _N2V_BIASED_STEPS + 2):
         cand = (
-            state.join(edges, state.cur == edges.src)
+            F.broadcast(state)
+            .join(edges, state.cur == edges.src)
             .select("walk_id", "prev", "cur", "path", F.col("dst").alias("cand"))
+            # prev is always an edge source (cur was reached FROM it), so
+            # the adjacency lookup is an inner keyed join; membership in
+            # nbrs(prev) is exactly the old (prev, cand) ∈ edges test.
+            # shuffle_hash builds on the walker-neighborhood-sized cand
+            # side; adj streams from its persisted src-hash layout
+            # (node-sized — NEVER broadcast, same cliff rule as BFS).
+            .hint("shuffle_hash")
             .join(
-                chk,
-                (F.col("prev") == F.col("psrc")) & (F.col("cand") == F.col("pdst")),
-                "left",
+                adj.select(F.col("src").alias("psrc"), "nbrs"),
+                F.col("prev") == F.col("psrc"),
             )
             .select(
                 "walk_id",
@@ -203,7 +230,7 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "path",
                 "cand",
                 F.when(F.col("cand") == F.col("prev"), _W_RET)
-                .when(F.col("pdst").isNotNull(), _W_COM)
+                .when(F.array_contains(F.col("nbrs"), F.col("cand")), _W_COM)
                 .otherwise(_W_FAR)
                 .alias("w"),
             )
@@ -226,15 +253,19 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").over(ww).cast("bigint").alias("tot"),
         )
         coin = F.expr(_n2v_coin("spark", t)) % F.col("tot")
-        state = weighted.filter(
-            (coin >= F.col("cumw")) & (coin < F.col("cumw") + F.col("w"))
-        ).select(
-            "walk_id",
-            F.col("cur").alias("prev"),
-            F.col("cand").alias("cur"),
-            F.concat(F.col("path"), F.lit(">"), F.col("cand").cast("string")).alias(
-                "path"
-            ),
+        state = (
+            weighted.filter(
+                (coin >= F.col("cumw")) & (coin < F.col("cumw") + F.col("w"))
+            )
+            .select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("cand").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit(">"), F.col("cand").cast("string")
+                ).alias("path"),
+            )
+            .localCheckpoint(eager=True)  # one row per walker — tiny
         )
     return state.select("walk_id", F.col("cur").alias("end_node"), "path")
 

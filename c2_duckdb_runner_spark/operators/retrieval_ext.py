@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
+from c2_duckdb_runner_spark.session import shuffle_width
 from c2_duckdb_runner_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -363,7 +364,7 @@ def graph_jaccard_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             or 0
         )
         _WEDGE_WIDTH_CACHE[cache_key] = wedge_rows
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sess_parts = shuffle_width(spark)
     n_parts = max(
         sess_parts,
         min(_MAX_PAIR_PARTS, -(-int(wedge_rows) // _PAIRS_PER_TASK)),

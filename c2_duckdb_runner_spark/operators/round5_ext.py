@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 from c2_duckdb_runner_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -597,10 +597,7 @@ def graph_hits_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & F.col("l_suppkey").isNotNull())
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
     )
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = spark.sparkContext.defaultParallelism
+    nparts = shuffle_width(spark)
     # One shuffle builds the deduped c-partitioned copy: HashPartitioning(c)
     # satisfies the dedup aggregate's ClusteredDistribution((c, s)) by the
     # subset rule, so dropDuplicates runs inside the standing partitioning

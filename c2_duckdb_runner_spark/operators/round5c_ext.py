@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from c2_duckdb_runner_spark.operators.dedup import (
     _jaccard_pairs_spark,
     _jaccard_pairs_sql,
-    _with_shingles,
+    _exploded_shingles,
 )
 from c2_duckdb_runner_spark.registry import register
 from c2_duckdb_runner_spark.session import scratch_persist
@@ -110,15 +110,9 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the audit's ground truth, shingle-blocked as in
     dedup_near_ngram_jaccard, and the sample keeps it audit-sized)."""
     _, _, match = _oph_cols_sql()
-    sh = _with_shingles(spark, sf_dir).filter(
-        F.expr(
-            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
-            f" 16, 10) AS BIGINT) % {_OPH_SAMPLE_MOD} = 0"
-        )
-    )
-    slotv = sh.select(
-        "doc_id", F.explode("sh").alias("s0")
-    ).select(
+    # r12: raw stream via _exploded_shingles (inferred-filter dodge)
+    sh_raw = _exploded_shingles(spark, sf_dir, sample_mod=_OPH_SAMPLE_MOD)
+    slotv = sh_raw.select(
         "doc_id",
         F.expr(
             "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"

@@ -167,14 +167,11 @@ def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes at any scale. Cites graph.py _EDGES_SQL / _OFFSET
     (``main.cc:181-182`` reach)."""
     from c2_duckdb_runner_spark.operators.graph import _OFFSET
-    from c2_duckdb_runner_spark.session import scratch_persist
+    from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        nparts = spark.sparkContext.defaultParallelism
+    nparts = shuffle_width(spark)
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         # NULL endpoints are not graph nodes (r11 hostile pin)

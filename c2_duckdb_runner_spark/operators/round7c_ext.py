@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from c2_duckdb_runner_spark.operators.dedup import (
     _jaccard_pairs_spark,
     _jaccard_pairs_sql,
-    _with_shingles,
+    _exploded_shingles,
 )
 from c2_duckdb_runner_spark.operators.round5c_ext import _oph_cols_sql, _OPH_K
 from c2_duckdb_runner_spark.operators.simsearch import (
@@ -332,13 +332,9 @@ def dedup_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs_spark(
         spark, sf_dir, thresh=0.0, sample_mod=_SC_SAMPLE_MOD
     )
-    sh = _with_shingles(spark, sf_dir).filter(
-        F.expr(
-            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
-            f" 16, 10) AS BIGINT) % {_SC_SAMPLE_MOD} = 0"
-        )
-    )
-    slotv = sh.select("doc_id", F.explode("sh").alias("s0")).select(
+    # r12: raw stream via _exploded_shingles (inferred-filter dodge)
+    sh_raw = _exploded_shingles(spark, sf_dir, sample_mod=_SC_SAMPLE_MOD)
+    slotv = sh_raw.select(
         "doc_id",
         F.expr(
             "CAST(conv(substring(md5(s0), 1, 15), 16, 10) AS BIGINT)"

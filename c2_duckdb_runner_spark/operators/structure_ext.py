@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 from c2_duckdb_runner_spark.tables import load, load_spread
 
 # ---------------------------------------------------------------------------
@@ -97,14 +97,24 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     count pinned so the DuckDB oracle can replay it as an unrolled CTE
     chain (at convergence additional rounds are no-ops).
 
-    Scale shape per round: one keyed degree aggregation + two semi-joins
-    of the edge relation against the (much smaller) survivor set, then a
-    localCheckpoint so lineage stays flat across rounds — the same
-    iterative discipline as PageRank/CC/BFS. The graph is symmetric, so
-    src-side degrees cover every node and the survivor semi-join applies
-    to both endpoints. Output: surviving nodes with their within-core
-    degree after the final peel."""
-    e = scratch_persist(_kedges(spark, sf_dir))
+    Scale shape per round (r12 restructure): the edge relation lives in a
+    STANDING src-hash partitioning, so the degree aggregation and the
+    src-side survivor semi-join are exchange-free; the dst-side test
+    exploits the graph's SYMMETRY (fwd ∪ rev with disjoint key ranges —
+    swap(E) = E as a set, multiplicity 1): after filtering surviving
+    src's, SWAP the endpoints (map-only), repartition back into the
+    standing src layout — the round's ONE edge-sized exchange — and
+    semi-join the survivor set again. Both-endpoint-survive edges come
+    out in swapped orientation, which by symmetry IS the surviving edge
+    set, already src-partitioned for the next round. Before r12 each
+    round exchanged edge-sized data twice (semi on src + semi on dst)
+    plus the degree shuffle; now once. The survivor set is
+    shuffle_hash-built so the edge stream is never sorted. Output:
+    surviving nodes with their within-core degree after the final peel."""
+    width = shuffle_width(spark)
+    e = scratch_persist(
+        _kedges(spark, sf_dir).repartition(width, "src")
+    )
     for _ in range(_KCORE_ROUNDS):
         keep = (
             e.groupBy("src")
@@ -112,9 +122,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("c") >= _KCORE_K)
             .select("src")
         )
+        # Carrier choice, MEASURED in a single-session 5-rep interleave:
+        # localCheckpoint(eager=False) 2.14 s vs scratch_persist 3.66 s
+        # vs r11 shape 2.59 s — the checkpoint drops the partitioning
+        # between rounds (UnknownPartitioning under AQE), costing one
+        # extra node-sized agg exchange per round, but the persist's
+        # cache-write + per-round cached-plan matching costs more (the
+        # attribution_markov persist-hops lesson again). Checkpoint wins.
         e = (
-            e.join(keep, "src", "semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+            e.join(keep.hint("shuffle_hash"), "src", "semi")
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .repartition(width, "src")
+            .join(keep.hint("shuffle_hash"), "src", "semi")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )

@@ -46,11 +46,11 @@ from pyspark.sql import functions as F
 
 from c2_duckdb_runner_spark.operators.dedup import (
     _SHINGLES_DUCK,
-    _with_shingles,
+    _exploded_shingles,
     dedup_near_ngram_jaccard,
 )
 from c2_duckdb_runner_spark.registry import register
-from c2_duckdb_runner_spark.session import scratch_persist
+from c2_duckdb_runner_spark.session import scratch_persist, shuffle_width
 from c2_duckdb_runner_spark.tables import load, load_spread
 
 
@@ -103,13 +103,26 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_near_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    edges = (
+    # r12 optimization round: the CC loop's relations are sized FROM THE
+    # DATA, not from the session constant (a localCheckpoint also drops
+    # its partitioning under AQE — measured UnknownPartitioning(0) — so
+    # the standing layout must live in a persist, whose InMemoryRelation
+    # keeps it). The pair graph is a few % of the corpus: at fixture
+    # scale it is a few hundred rows and a 32-wide shuffle per round is
+    # pure stage latency; at 100 TB it is millions of rows and needs the
+    # full width. loop_w = ceil(|E| / 200k) clamped to [1, shuffle_width]
+    # gives both. The persisted edges carry the standing b-hash layout at
+    # loop_w, so each round re-shuffles only the node-sized label
+    # relation into it — never the edges.
+    sym = (
         pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
         .unionByName(
             pairs.select(F.col("b_id").alias("a"), F.col("a_id").alias("b"))
         )
         .localCheckpoint(eager=True)  # pairs subtree is expensive; reuse it
     )
+    loop_w = max(1, min(shuffle_width(spark), -(-sym.count() // 200_000)))
+    edges = scratch_persist(sym.repartition(loop_w, "b"))
     # Iterate ONLY over edge-endpoint nodes: a doc in no near-dup pair is a
     # singleton whose label never changes, so it has no business inside the
     # propagation loop. At corpus scale this is the difference between
@@ -120,13 +133,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays unambiguous)
     labels = (
         edges.select(F.col("a").alias("node_id"))
+        .repartition(loop_w, "node_id")
         .distinct()
         .withColumn("component_id", F.col("node_id"))
         .localCheckpoint(eager=True)
     )
     while True:
         neighbor_min = (
-            edges.join(labels, edges.b == labels.node_id)
+            # shuffle_hash pin: build the node-sized label relation, stream
+            # the co-partitioned edges unsorted (an unpinned SMJ would sort
+            # the edge relation every round; a broadcast plan cliffs at
+            # scale — the graph_bfs_multisource lesson from r10)
+            edges.join(labels.hint("shuffle_hash"), edges.b == labels.node_id)
             .groupBy(edges.a.alias("node"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
@@ -322,8 +340,8 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole check is a map-side join plus one count-distinct aggregate
     keyed on doc_id. This is the standard n-gram decontamination pass run
     before pretraining."""
-    sh = _with_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
+    sh = _exploded_shingles(spark, sf_dir).select(
+        "doc_id", F.col("s0").alias("s")
     )
     bench = F.broadcast(
         sh.filter(F.col("doc_id") % 50 == 0).select(
