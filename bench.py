@@ -303,6 +303,14 @@ _SENTINEL_BASELINE: dict[float, dict[str, float]] = {
         "aa_shuffle_group": 0.627,
         "aa_global_sort": 0.799,
     },
+    # Recorded 2026-08-18 (r12 optimization round) from the first full
+    # sf1-replica bench (BENCH_sf1_r12.json), box near its quiet state
+    # (same-session sf0.1 drift_factor 0.813 measured an hour earlier).
+    1.0: {
+        "aa_scan_agg": 0.946,
+        "aa_shuffle_group": 1.078,
+        "aa_global_sort": 1.464,
+    },
 }
 
 

@@ -249,6 +249,9 @@ def graph_label_propagation_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp"))
         .distinct()
+        # r12: mirror from the materialized pair list — the union's two
+        # identical subtrees don't collapse under AQE (see graph._edges)
+        .localCheckpoint(eager=True)
     )
     from c2_duckdb_runner_spark.session import scratch_persist
 

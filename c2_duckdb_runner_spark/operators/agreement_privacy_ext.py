@@ -99,6 +99,9 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select("o_custkey", (F.lit(10000000) + F.col("l_suppkey")).alias("supp"))
         .distinct()
+        # r12: mirror from the materialized pair list — the union's two
+        # identical subtrees don't collapse under AQE (see graph._edges)
+        .localCheckpoint(eager=True)
     )
     nparts = shuffle_width(spark)
     edges = scratch_persist(

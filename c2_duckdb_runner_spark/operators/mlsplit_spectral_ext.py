@@ -154,6 +154,9 @@ def graph_node2vec_biased_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp"))
         .distinct()
+        # r12: mirror from the materialized pair list — the union's two
+        # identical subtrees don't collapse under AQE (see graph._edges)
+        .localCheckpoint(eager=True)
     )
     # Persist the edge relation ALREADY hash-partitioned on src: every hop
     # joins on cur = src and the adjacency-check joins on prev = psrc, so

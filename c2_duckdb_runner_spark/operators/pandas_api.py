@@ -167,29 +167,44 @@ def audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 optimization round: each edge now computes BOTH counts in one
     broadcast LEFT join pass (total rows + rows whose probe missed,
     the oracle's COUNT FILTER shape) instead of an anti-join count plus
-    a separate full-scan count — one scan per child table per edge
-    instead of two (lineitem: 3 scans instead of 6)."""
-    out: DataFrame | None = None
+    a separate full-scan count.
+
+    r12 optimization round: all edges of the SAME child table share ONE
+    scan — the child chains one broadcast LEFT join per parent and a
+    single aggregate emits every edge's (total, orphan) pair, unpivoted
+    with stack() into the per-edge report rows. One scan + one aggregate
+    stage per child table (lineitem: 3 scans → 1) instead of one per
+    edge; the dim-sized parent DISTINCTs are unchanged (they keep the
+    LEFT join at-most-one-match, so n_child_rows cannot inflate even if
+    a hostile parent fixture carries duplicate keys)."""
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for edge, child, ck, parent, pk in _FK_EDGES:
-        c = load(spark, sf_dir, child)
-        # DISTINCT parent keys: keeps the LEFT join at-most-one-match, so
-        # n_child_rows cannot inflate even if a (hostile) parent fixture
-        # carries duplicate keys — same semantics as the old anti-join.
-        p = (
-            load(spark, sf_dir, parent)
-            .select(F.col(pk).alias("__pk"))
-            .distinct()
-            .withColumn("__hit", F.lit(1))
-        )
-        row = (
-            c.join(F.broadcast(p), c[ck] == p["__pk"], "left")
-            .agg(
-                F.count("*").alias("n_child_rows"),
-                F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_orphans"),
+        by_child.setdefault(child, []).append((edge, ck, parent, pk))
+    out: DataFrame | None = None
+    for child, edges in by_child.items():
+        j = load(spark, sf_dir, child)
+        for i, (_edge, ck, parent, pk) in enumerate(edges):
+            p = (
+                load(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
+                .withColumn(f"__hit{i}", F.lit(1))
             )
-            .select(F.lit(edge).alias("fk_edge"), "n_child_rows", "n_orphans")
+            j = j.join(F.broadcast(p), j[ck] == p[f"__pk{i}"], "left")
+        aggs = [F.count("*").alias("__n")] + [
+            F.count(F.when(F.col(f"__hit{i}").isNull(), 1)).alias(f"__o{i}")
+            for i in range(len(edges))
+        ]
+        stack_args = ", ".join(
+            f"'{edge}', __n, __o{i}" for i, (edge, _, _, _) in enumerate(edges)
         )
-        out = row if out is None else out.unionByName(row)
+        rows = j.agg(*aggs).select(
+            F.expr(
+                f"stack({len(edges)}, {stack_args}) AS "
+                "(fk_edge, n_child_rows, n_orphans)"
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
     assert out is not None
     return out
 

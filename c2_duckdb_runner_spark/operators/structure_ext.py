@@ -60,6 +60,9 @@ def _kedges(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select("o_custkey", (F.lit(10_000_000) + F.col("l_suppkey")).alias("supp"))
         .distinct()
+        # r12: mirror from the materialized pair list — the union's two
+        # identical subtrees don't collapse under AQE (see graph._edges)
+        .localCheckpoint(eager=True)
     )
     fwd = pairs.select(F.col("o_custkey").alias("src"), F.col("supp").alias("dst"))
     rev = pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))

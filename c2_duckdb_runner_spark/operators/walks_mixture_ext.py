@@ -118,6 +118,9 @@ def graph_random_walks_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", (F.lit(_OFFSET) + F.col("l_suppkey")).alias("supp"))
         .distinct()
+        # r12: mirror from the materialized pair list — the union's two
+        # identical subtrees don't collapse under AQE (see graph._edges)
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("o_custkey").alias("src"), F.col("supp").alias("dst")
@@ -229,11 +232,18 @@ def sample_dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     b = t.select("doc_id", "lang", F.expr(_dsir_bucket("spark")).alias("bkt"))
-    feat = b.groupBy("bkt").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("t_cnt"),
-        F.count("*").cast("bigint").alias("r_cnt"),
+    # r12: persist the bucket feature table (≤ _DSIR_BUCKETS rows). It is
+    # consumed THREE times — its own broadcast build, the totals row's
+    # build, and nothing else cheap — and each un-persisted consumption
+    # re-ran the full corpus explode+hash (token stream evaluated 3×;
+    # now 2×: once filling this cache, once in the scoring pass).
+    feat = scratch_persist(
+        b.groupBy("bkt").agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("t_cnt"),
+            F.count("*").cast("bigint").alias("r_cnt"),
+        )
     )
     tot = feat.agg(
         F.sum("t_cnt").cast("bigint").alias("t_tot"),
